@@ -1,0 +1,153 @@
+"""IBF build/query: round-trip property, fp bound, persistence.
+
+Mirrors the reference contract tests: every inserted minimizer must be
+found in its target's bins (GanonBuild.test.cpp validate_elements), and the
+achieved max fp must respect the configured bound (validate_filter).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ganon_tpu.index import IBF, build_ibf
+from ganon_tpu.ops.ibf_query import (
+    bulk_count_bins,
+    ibf_row_indices,
+    ibf_row_indices_np,
+    target_counts,
+)
+from ganon_tpu.ops.minimizers import encode_seqs, minimizers_jax
+
+
+def _random_target_hashes(rng, n_targets, lo=50, hi=900):
+    out = {}
+    for i in range(n_targets):
+        n = rng.integers(lo, hi)
+        h = rng.integers(0, 2**62, size=n, dtype=np.uint64)
+        out[f"T{i}"] = np.unique(h)
+    return out
+
+
+def test_row_indices_np_jax_agree():
+    rng = np.random.default_rng(0)
+    h = rng.integers(0, 2**64, size=500, dtype=np.uint64)
+    for bin_size in (97, 8192, 1 << 20, (1 << 31) + 7):
+        a = ibf_row_indices_np(h, bin_size=bin_size, hash_functions=5)
+        b = np.asarray(
+            ibf_row_indices(jnp.asarray(h), bin_size=bin_size, hash_functions=5)
+        )
+        assert (a == b).all()
+        assert a.min() >= 0 and a.max() < bin_size
+
+
+def test_build_roundtrip_all_hashes_found():
+    rng = np.random.default_rng(1)
+    th = _random_target_hashes(rng, 6)
+    ibf = build_ibf(th, kmer_size=19, window_size=31, max_fp=0.05)
+
+    tb = ibf.target_bins()
+    targets = list(th)
+    M = max(len(h) for h in th.values())
+    hs = np.zeros((len(targets), M), dtype=np.uint64)
+    mask = np.zeros((len(targets), M), dtype=bool)
+    for i, t in enumerate(targets):
+        hs[i, : len(th[t])] = th[t]
+        mask[i, : len(th[t])] = True
+    rows = ibf_row_indices(
+        jnp.asarray(hs),
+        bin_size=ibf.ibf_config.bin_size_bits,
+        hash_functions=ibf.ibf_config.hash_functions,
+    )
+    counts = np.asarray(
+        bulk_count_bins(jnp.asarray(ibf.bits), rows, jnp.asarray(mask))
+    )
+    for i, t in enumerate(targets):
+        # all hashes of the target hit the union of its technical bins
+        assert counts[i, tb[t]].sum() >= len(th[t])
+
+
+def test_fp_bound():
+    rng = np.random.default_rng(2)
+    th = _random_target_hashes(rng, 4, lo=300, hi=800)
+    ibf = build_ibf(th, kmer_size=19, window_size=31, max_fp=0.05)
+    # ceil-rounding on split bins can overshoot the target fp marginally
+    # (same formulas as the reference); allow a small tolerance.
+    assert ibf.ibf_config.true_max_fp <= 0.05 * 1.05
+
+    # empirical fp: random foreign hashes should rarely hit
+    foreign = rng.integers(2**62, 2**63, size=4000, dtype=np.uint64)
+    rows = ibf_row_indices(
+        jnp.asarray(foreign)[None, :],
+        bin_size=ibf.ibf_config.bin_size_bits,
+        hash_functions=ibf.ibf_config.hash_functions,
+    )
+    counts = np.asarray(
+        bulk_count_bins(jnp.asarray(ibf.bits), rows, jnp.ones((1, 4000), dtype=bool))
+    )[0]
+    n_bins = ibf.ibf_config.n_bins
+    emp_fp = counts[:n_bins].sum() / (4000 * n_bins)
+    assert emp_fp <= 3 * max(ibf.ibf_config.true_max_fp, 0.01)
+
+
+def test_target_counts_matmul():
+    rng = np.random.default_rng(3)
+    technical = 64
+    bc = rng.integers(0, 100, size=(5, technical)).astype(np.int32)
+    b2t = np.full(technical, 3, dtype=np.int32)
+    b2t[:10] = 0
+    b2t[10:25] = 1
+    b2t[25:40] = 2
+    tc = np.asarray(
+        target_counts(jnp.asarray(bc), jnp.asarray(b2t), num_targets=3)
+    )
+    assert (tc[:, 0] == bc[:, :10].sum(1)).all()
+    assert (tc[:, 1] == bc[:, 10:25].sum(1)).all()
+    assert (tc[:, 2] == bc[:, 25:40].sum(1)).all()
+
+
+def test_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(4)
+    th = _random_target_hashes(rng, 3)
+    ibf = build_ibf(th, kmer_size=19, window_size=31, max_fp=0.05)
+    p = str(tmp_path / "db.ibf")
+    ibf.save(p)
+    loaded = IBF.load(p)
+    assert (loaded.bits == ibf.bits).all()
+    assert loaded.ibf_config == ibf.ibf_config
+    assert loaded.hashes_count == ibf.hashes_count
+    assert loaded.bin_map == ibf.bin_map
+
+
+def test_end_to_end_sequence_membership():
+    # build from actual sequences; query reads drawn from them
+    import random
+
+    rng = random.Random(5)
+    refs = {
+        f"G{i}": "".join(rng.choice("ACGT") for _ in range(400)) for i in range(4)
+    }
+    k, w = 19, 31
+    th = {}
+    for t, s in refs.items():
+        codes, lengths = encode_seqs([s])
+        h, n = minimizers_jax(codes, lengths, k=k, w=w, max_minimizers=400)
+        th[t] = np.unique(np.asarray(h)[0, : int(n[0])])
+    ibf = build_ibf(th, kmer_size=k, window_size=w, max_fp=0.01)
+
+    # a 100bp read from G2 must match all its minimizers in G2's bins
+    read = refs["G2"][37:137]
+    codes, lengths = encode_seqs([read])
+    h, n = minimizers_jax(codes, lengths, k=k, w=w, max_minimizers=100)
+    M = int(n[0])
+    rows = ibf_row_indices(
+        h[:, :M],
+        bin_size=ibf.ibf_config.bin_size_bits,
+        hash_functions=ibf.ibf_config.hash_functions,
+    )
+    counts = np.asarray(
+        bulk_count_bins(jnp.asarray(ibf.bits), rows, jnp.ones((1, M), dtype=bool))
+    )[0]
+    tc = {
+        t: int(counts[bins].sum()) for t, bins in ibf.target_bins().items()
+    }
+    assert tc["G2"] >= M  # full containment
