@@ -1,0 +1,120 @@
+"""Device-side classify compute: minimizer extraction + IBF bulk count.
+
+Static-shape jitted stages with length bucketing so a stream of variable
+length reads reuses a small set of compiled programs. All filters in a
+hierarchy level share (k, w), so hashes are extracted once per batch and
+counted against each filter's bit-matrix.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ganon_tpu.ops.minimizers import encode_seqs, minimizers_jax
+from ganon_tpu.ops.ibf_query import ibf_row_indices, bulk_count_bins, target_counts
+
+
+def bucket_len(n: int, minimum: int = 128) -> int:
+    """Round a length up to the next bucket (powers of two past `minimum`)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@partial(jax.jit, static_argnames=("k", "w", "m1", "m2"))
+def extract_hashes(codes1, len1, codes2, len2, *, k: int, w: int, m1: int, m2: int):
+    """Minimizers for a (possibly paired) batch, concatenated per read.
+
+    Mate-2 hashes are appended when ``len2 >= w``; a read whose first mate
+    is shorter than ``w`` is skipped entirely (``n_hashes == 0``), matching
+    GanonClassify.cpp:689-700.
+
+    Returns (hashes uint64 [B, m1+m2], mask bool [B, m1+m2], n_hashes int32 [B]).
+    """
+    h1, n1 = minimizers_jax(codes1, len1, k=k, w=w, max_minimizers=m1)
+    pos1 = jnp.arange(m1, dtype=jnp.int32)[None, :]
+    mask1 = pos1 < n1[:, None]
+    if codes2 is not None:
+        h2, n2 = minimizers_jax(codes2, len2, k=k, w=w, max_minimizers=m2)
+        pos2 = jnp.arange(m2, dtype=jnp.int32)[None, :]
+        mask2 = pos2 < n2[:, None]
+        hashes = jnp.concatenate([h1, h2], axis=1)
+        mask = jnp.concatenate([mask1, mask2], axis=1)
+        n_hashes = n1 + n2
+    else:
+        hashes, mask, n_hashes = h1, mask1, n1
+    read_ok = (len1 >= w)[:, None]
+    mask = mask & read_ok
+    n_hashes = jnp.where(len1 >= w, n_hashes, 0)
+    return hashes, mask, n_hashes
+
+
+@partial(jax.jit, static_argnames=("bin_size", "hash_functions", "num_targets"))
+def filter_counts(
+    bits, bin_to_target, hashes, mask, n_hashes, *,
+    bin_size: int, hash_functions: int, num_targets: int,
+):
+    """Per-target clamped counts for one filter: int32 [B, num_targets]."""
+    rows = ibf_row_indices(hashes, bin_size=bin_size, hash_functions=hash_functions)
+    bc = bulk_count_bins(bits, rows, mask)
+    tc = target_counts(bc, bin_to_target, num_targets=num_targets)
+    # a target split across several technical bins can exceed n_hashes
+    return jnp.minimum(tc, n_hashes[:, None])
+
+
+class DeviceFilter:
+    """An IBF resident on device, ready for batched counting."""
+
+    def __init__(self, ibf, device=None):
+        self.ibf_config = ibf.ibf_config
+        self.targets = ibf.targets()
+        self.num_targets = len(self.targets)
+        self.bits = jnp.asarray(ibf.bits)
+        self.bin_to_target = jnp.asarray(ibf.bin_to_target_ids())
+        self.target_fpr = ibf.target_fpr()
+
+    def counts(self, hashes, mask, n_hashes) -> np.ndarray:
+        return filter_counts(
+            self.bits,
+            self.bin_to_target,
+            hashes,
+            mask,
+            n_hashes,
+            bin_size=self.ibf_config.bin_size_bits,
+            hash_functions=self.ibf_config.hash_functions,
+            num_targets=self.num_targets,
+        )
+
+
+def batch_to_device(batch, w: int, batch_pad: int):
+    """Encode a ReadBatch into padded device inputs using length buckets.
+
+    Returns (codes1, len1, codes2|None, len2|None, m1, m2) with the batch
+    dimension padded to ``batch_pad``.
+    """
+
+    def pad_batch(arr_codes, arr_len):
+        b = arr_codes.shape[0]
+        if b < batch_pad:
+            arr_codes = np.pad(arr_codes, ((0, batch_pad - b), (0, 0)))
+            arr_len = np.pad(arr_len, (0, batch_pad - b))
+        return arr_codes, arr_len
+
+    L1 = bucket_len(max((len(s) for s in batch.seqs), default=0))
+    codes1, len1 = encode_seqs(batch.seqs, max_len=L1)
+    codes1, len1 = pad_batch(codes1, len1)
+    m1 = max(L1 - w + 1, 1)
+    if batch.paired:
+        L2 = bucket_len(max((len(s) for s in batch.seqs2), default=0))
+        codes2, len2 = encode_seqs(batch.seqs2, max_len=L2)
+        codes2, len2 = pad_batch(codes2, len2)
+        m2 = max(L2 - w + 1, 1)
+    else:
+        codes2 = len2 = None
+        m2 = 0
+    return codes1, len1, codes2, len2, m1, m2

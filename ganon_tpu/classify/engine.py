@@ -1,0 +1,647 @@
+"""Classification pipeline: hierarchy orchestration, thresholds, outputs.
+
+Re-implements the full semantics of the reference classify engine
+(``/root/reference/src/ganon-classify/GanonClassify.cpp``) on top of the
+TPU compute path:
+
+* multi-level hierarchies with leftover-read requeue (queue-swap semantics
+  become an in-memory survivor list between levels),
+* per-filter rel-cutoff, per-hierarchy rel-filter and fpr-query,
+* unique/LCA accounting, ``.rep``/``.one``/``.all``/``.unc``/``.sta``
+  outputs with the reference's file-naming matrix,
+* uint16-style big-read skipping (``hashes_limit``) and short-read skipping.
+
+The device computes per-target clamped counts for whole read batches; the
+host applies thresholds with numpy and streams output lines.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ganon_tpu.classify import device as dev
+from ganon_tpu.classify.lca import LCA, build_lca
+from ganon_tpu.classify.thresholds import BinomTailCache
+from ganon_tpu.index.ibf import IBF
+from ganon_tpu.io.sequence import ReadBatch, read_batches
+
+
+# --------------------------------------------------------------------------
+# configuration
+
+
+@dataclass
+class FilterSpec:
+    ibf_file: str
+    tax_file: str = ""
+    rel_cutoff: float = 0.2
+
+
+@dataclass
+class ClassifyConfig:
+    """Mirrors the reference ganon-classify Config (Config.hpp:18-290)."""
+
+    ibf: list = field(default_factory=list)
+    tax: list = field(default_factory=list)
+    single_reads: list = field(default_factory=list)
+    paired_reads: list = field(default_factory=list)  # flat [r1, r2, r1, r2...]
+    batch_reads: list = field(default_factory=list)
+    output_prefix: str = ""
+    hierarchy_labels: list = field(default_factory=lambda: ["H1"])
+    rel_cutoff: list = field(default_factory=lambda: [0.2])
+    rel_filter: list = field(default_factory=lambda: [0.0])
+    fpr_query: list = field(default_factory=lambda: [1.0])
+    output_lca: bool = False
+    output_all: bool = False
+    output_unclassified: bool = False
+    output_stats: bool = False
+    output_single: bool = False
+    skip_lca: bool = False
+    tax_root_node: str = "1"
+    n_reads: int = 1024  # device batch size
+    hashes_limit: int = 65535  # uint16 counter limit; raise for long reads
+    quiet: bool = True
+    verbose: bool = False
+
+    def validate(self) -> None:
+        """Broadcast vector params (reference validate_hierarchy)."""
+        if not self.output_prefix:
+            raise ValueError("--output-prefix is mandatory")
+        if not (self.single_reads or self.paired_reads or self.batch_reads):
+            raise ValueError("at least one of --single|paired|batch-reads needed")
+        if not self.ibf:
+            raise ValueError("--ibf is mandatory")
+        if len(self.paired_reads) % 2 != 0:
+            raise ValueError("--paired-reads should be an even number of files")
+        n_filters = len(self.ibf)
+        uniq = len(set(self.hierarchy_labels))
+        if len(self.hierarchy_labels) == 1 and n_filters > 1:
+            self.hierarchy_labels = self.hierarchy_labels * n_filters
+        if len(self.hierarchy_labels) != n_filters:
+            raise ValueError("--hierarchy-labels must match --ibf")
+        uniq = len(set(self.hierarchy_labels))
+        if len(self.rel_cutoff) == 1 and n_filters > 1:
+            self.rel_cutoff = self.rel_cutoff * n_filters
+        if len(self.rel_cutoff) != n_filters:
+            raise ValueError("one --rel-cutoff per filter")
+        if len(self.rel_filter) == 1 and uniq > 1:
+            self.rel_filter = self.rel_filter * uniq
+        if len(self.rel_filter) != uniq:
+            raise ValueError("one --rel-filter per hierarchy")
+        if len(self.fpr_query) == 1 and uniq > 1:
+            self.fpr_query = self.fpr_query * uniq
+        if len(self.fpr_query) != uniq:
+            raise ValueError("one --fpr-query per hierarchy")
+        if self.tax and len(self.tax) != len(self.ibf):
+            raise ValueError("--ibf and --tax must match")
+        if not self.tax:
+            self.skip_lca = True
+        for v in self.rel_cutoff + self.rel_filter + self.fpr_query:
+            if v < 0 or v > 1:
+                raise ValueError("threshold values must be within [0, 1]")
+
+
+@dataclass
+class HierarchyLevel:
+    label: str
+    filters: list  # list[FilterSpec]
+    rel_filter: float
+    fpr_query: float
+    output_file_one: str
+    output_file_all: str
+
+
+def parse_hierarchy(cfg: ClassifyConfig) -> dict[str, HierarchyLevel]:
+    """Group filters by sorted hierarchy label (GanonClassify.cpp:353-401)."""
+    uniq = sorted(set(cfg.hierarchy_labels))
+    levels: dict[str, HierarchyLevel] = {}
+    hierarchy_count = 0
+    for h, label in enumerate(cfg.hierarchy_labels):
+        spec = FilterSpec(
+            ibf_file=cfg.ibf[h],
+            tax_file=cfg.tax[h] if cfg.tax else "",
+            rel_cutoff=cfg.rel_cutoff[h],
+        )
+        if label not in levels:
+            one, all_ = "one", "all"
+            if len(uniq) > 1 and not cfg.output_single:
+                one = f"{label}.one"
+                all_ = f"{label}.all"
+            levels[label] = HierarchyLevel(
+                label=label,
+                filters=[spec],
+                rel_filter=cfg.rel_filter[hierarchy_count],
+                fpr_query=cfg.fpr_query[hierarchy_count],
+                output_file_one=one,
+                output_file_all=all_,
+            )
+            hierarchy_count += 1
+        else:
+            levels[label].filters.append(spec)
+    return dict(sorted(levels.items()))
+
+
+def parse_reads_config(cfg: ClassifyConfig) -> dict[str, list[tuple[str, str]]]:
+    """{prefix: [(file1, file2|""), ...]} (GanonClassify.cpp:289-351)."""
+    rc: dict[str, list[tuple[str, str]]] = {}
+    if cfg.batch_reads:
+        for bf in cfg.batch_reads:
+            with open(bf) as f:
+                for line in f:
+                    fields = line.rstrip("\n").split("\t")
+                    if len(fields) < 2:
+                        raise ValueError(
+                            "invalid --batch-reads file (prefix\tfile1[\tfile2])"
+                        )
+                    f2 = fields[2] if len(fields) >= 3 else ""
+                    rc.setdefault(fields[0], []).append((fields[1], f2))
+    else:
+        for rf in cfg.single_reads:
+            rc.setdefault("", []).append((rf, ""))
+        for i in range(0, len(cfg.paired_reads), 2):
+            rc.setdefault("", []).append(
+                (cfg.paired_reads[i], cfg.paired_reads[i + 1])
+            )
+    return rc
+
+
+def load_tax(tax_file: str) -> dict[str, tuple[str, str, str]]:
+    """.tax rows: target <tab> parent <tab> rank <tab> name [...]"""
+    tax = {}
+    with open(tax_file) as f:
+        for line in f:
+            fields = line.rstrip("\n").split("\t")
+            tax[fields[0]] = (fields[1], fields[2], fields[3])
+    return tax
+
+
+# --------------------------------------------------------------------------
+# stats containers
+
+
+_TOTAL_FIELDS = (
+    "input_seqs",
+    "seqs_processed",
+    "seqs_skipped_big",
+    "seqs_skipped_small",
+    "length_processed",
+    "kmers_processed",
+    "seqs_classified",
+    "kmers_matches",
+    "kmers_from_classified_seqs",
+    "matches",
+    "seqs_unique",
+    "discarded_matches_filter",
+    "discarded_matches_fprquery",
+)
+
+
+class Total:
+    __slots__ = _TOTAL_FIELDS
+
+    def __init__(self):
+        for f in _TOTAL_FIELDS:
+            setattr(self, f, 0)
+
+    def add(self, other: "Total"):
+        for f in _TOTAL_FIELDS:
+            setattr(self, f, getattr(self, f) + getattr(other, f))
+
+
+class Rep:
+    """Per-(prefix, target) report counters."""
+
+    __slots__ = ("matches", "seqs_lca", "seqs_unique", "disc_filter", "disc_fpr")
+
+    def __init__(self):
+        self.matches = 0
+        self.seqs_lca = 0
+        self.seqs_unique = 0
+        self.disc_filter = 0
+        self.disc_fpr = 0
+
+
+# --------------------------------------------------------------------------
+# per-level classification context
+
+
+class LevelContext:
+    """Loaded filters + union target table + LCA for one hierarchy level."""
+
+    def __init__(self, level: HierarchyLevel, cfg: ClassifyConfig):
+        self.level = level
+        self.filters: list[dev.DeviceFilter] = []
+        self.specs = level.filters
+        taxes = []
+        for spec in level.filters:
+            ibf = IBF.load(spec.ibf_file)
+            self.filters.append(dev.DeviceFilter(ibf))
+            if spec.tax_file:
+                taxes.append(load_tax(spec.tax_file))
+        k = self.filters[0].ibf_config.kmer_size
+        w = self.filters[0].ibf_config.window_size
+        for f in self.filters[1:]:
+            if f.ibf_config.kmer_size != k or f.ibf_config.window_size != w:
+                raise ValueError(
+                    "databases on the same hierarchy must share k-mer/window sizes"
+                )
+        self.kmer_size, self.window_size = k, w
+
+        # union target table (deterministic: filter order, then target order)
+        self.union_targets: list[str] = []
+        index: dict[str, int] = {}
+        self.filter_cols: list[np.ndarray] = []
+        self.filter_fprs: list[np.ndarray] = []
+        for f in self.filters:
+            cols = np.empty(f.num_targets, dtype=np.int64)
+            fprs = np.empty(f.num_targets, dtype=np.float64)
+            for j, t in enumerate(f.targets):
+                if t not in index:
+                    index[t] = len(self.union_targets)
+                    self.union_targets.append(t)
+                cols[j] = index[t]
+                fprs[j] = f.target_fpr[t]
+            self.filter_cols.append(cols)
+            self.filter_fprs.append(fprs)
+
+        # taxonomy: merge (first wins), add missing targets under root
+        self.tax: dict[str, tuple[str, str, str]] = {}
+        for t in reversed(taxes):
+            self.tax.update(t)
+        if self.tax:
+            for t in self.union_targets:
+                if t not in self.tax:
+                    self.tax[t] = (cfg.tax_root_node, "no rank", t)
+        self.lca: LCA | None = None
+        if not cfg.skip_lca:
+            if cfg.tax_root_node not in self.tax:
+                raise ValueError(
+                    f"root node [{cfg.tax_root_node}] not found (--tax-root-node)"
+                )
+            self.lca = build_lca(self.tax, cfg.tax_root_node)
+
+
+# --------------------------------------------------------------------------
+# main engine
+
+
+class _Out:
+    """Lazy per-prefix output file handles."""
+
+    def __init__(self):
+        self._files = {}
+
+    def get(self, path: str, mode: str = "w"):
+        if path not in self._files:
+            self._files[path] = open(path, mode)
+        return self._files[path]
+
+    def close_all(self):
+        for f in self._files.values():
+            f.close()
+        self._files.clear()
+
+
+def run_classify(cfg: ClassifyConfig) -> dict:
+    """Run the full classification; returns collected stats (for tests)."""
+    cfg.validate()
+    levels = parse_hierarchy(cfg)
+    reads_config = parse_reads_config(cfg)
+    prefixes = list(reads_config.keys())
+
+    totals: dict[str, Total] = {p: Total() for p in prefixes}
+    hierarchy_totals: dict[str, dict[str, Total]] = {
+        lbl: {p: Total() for p in prefixes} for lbl in levels
+    }
+
+    out = _Out()
+    for p in prefixes:
+        out.get(cfg.output_prefix + p + ".rep")
+        if cfg.output_unclassified:
+            out.get(cfg.output_prefix + p + ".unc")
+
+    # leftover reads flowing to the next level: list of ReadBatch
+    leftovers: list[ReadBatch] = []
+
+    level_labels = list(levels.keys())
+    for li, label in enumerate(level_labels):
+        level = levels[label]
+        first = li == 0
+        last = li == len(level_labels) - 1
+        ctx = LevelContext(level, cfg)
+        rep: dict[tuple[str, str], Rep] = {}
+        next_leftovers: list[ReadBatch] = []
+
+        file_mode = "w" if (first or not cfg.output_single) else "a"
+        one_files = {
+            p: cfg.output_prefix + p + "." + level.output_file_one for p in prefixes
+        }
+        all_files = {
+            p: cfg.output_prefix + p + "." + level.output_file_all for p in prefixes
+        }
+        if cfg.output_lca and not cfg.skip_lca:
+            for p in prefixes:
+                out.get(one_files[p], file_mode)
+        if cfg.output_all:
+            for p in prefixes:
+                out.get(all_files[p], file_mode)
+
+        def batches():
+            if first:
+                for prefix, files in reads_config.items():
+                    for f1, f2 in files:
+                        for b in read_batches(f1, f2, prefix, cfg.n_reads):
+                            totals[prefix].input_seqs += len(b)
+                            yield b
+            else:
+                yield from leftovers
+
+        for batch in batches():
+            lo = _classify_batch(
+                batch, ctx, cfg, rep, hierarchy_totals[label], first, last, out,
+                one_files, all_files,
+            )
+            if lo is not None and len(lo):
+                next_leftovers.append(lo)
+
+        # fold per-level totals and reports into global stats
+        for p in prefixes:
+            t = hierarchy_totals[label][p]
+            tt = totals[p]
+            for f in _TOTAL_FIELDS:
+                if f != "input_seqs":
+                    setattr(tt, f, getattr(tt, f) + getattr(t, f))
+
+        _write_rep(rep, ctx, cfg, label, out)
+
+        leftovers = next_leftovers
+
+    # .rep totals trailer
+    for p in prefixes:
+        f = out.get(cfg.output_prefix + p + ".rep")
+        f.write(f"#total_classified\t{totals[p].seqs_classified}\n")
+        f.write(
+            f"#total_unclassified\t{totals[p].input_seqs - totals[p].seqs_classified}\n"
+        )
+
+    out.close_all()
+
+    if cfg.output_stats:
+        _write_stats(cfg, totals, hierarchy_totals, levels, prefixes)
+
+    if not cfg.quiet:
+        _print_stats(totals)
+
+    return {
+        "totals": totals,
+        "hierarchy_totals": hierarchy_totals,
+    }
+
+
+def _classify_batch(
+    batch: ReadBatch,
+    ctx: LevelContext,
+    cfg: ClassifyConfig,
+    rep: dict,
+    level_totals: dict[str, Total],
+    first: bool,
+    last: bool,
+    out: _Out,
+    one_files: dict,
+    all_files: dict,
+) -> ReadBatch | None:
+    """Classify one batch at one level; returns leftover (unclassified)."""
+    B0 = len(batch)
+    w = ctx.window_size
+    batch_pad = dev.bucket_len(B0, minimum=64)
+    codes1, len1, codes2, len2, m1, m2 = dev.batch_to_device(batch, w, batch_pad)
+
+    import jax.numpy as jnp
+
+    hashes, mask, n_hashes_d = dev.extract_hashes(
+        jnp.asarray(codes1),
+        jnp.asarray(len1),
+        jnp.asarray(codes2) if codes2 is not None else None,
+        jnp.asarray(len2) if len2 is not None else None,
+        k=ctx.kmer_size,
+        w=w,
+        m1=m1,
+        m2=m2,
+    )
+    counts_list = [
+        np.asarray(f.counts(hashes, mask, n_hashes_d))[:B0] for f in ctx.filters
+    ]
+    nh = np.asarray(n_hashes_d)[:B0].astype(np.int64)
+    l1 = len1[:B0].astype(np.int64)
+    l2 = len2[:B0].astype(np.int64) if len2 is not None else np.zeros(B0, np.int64)
+
+    small = l1 < w
+    big = (~small) & (nh > cfg.hashes_limit)
+    ok = (~small) & (~big)
+
+    tot = level_totals[batch.prefix]
+    if first:
+        tot.seqs_skipped_small += int(small.sum())
+        tot.seqs_skipped_big += int(big.sum())
+        tot.seqs_processed += int(ok.sum())
+        tot.length_processed += int((l1 + l2)[ok].sum())
+        tot.kmers_processed += int(nh[ok].sum())
+
+    U = len(ctx.union_targets)
+    union_counts = np.zeros((B0, U), dtype=np.int64)
+    union_fpr = np.zeros((B0, U), dtype=np.float64)
+    for fi, (f, counts) in enumerate(zip(ctx.filters, counts_list)):
+        spec = ctx.specs[fi]
+        cutoff = np.maximum(np.ceil(nh * spec.rel_cutoff), 1).astype(np.int64)
+        kept = (counts >= cutoff[:, None]) & ok[:, None]
+        cand = np.where(kept, counts.astype(np.int64), 0)
+        uf = np.zeros((B0, U), dtype=np.int64)
+        uf[:, ctx.filter_cols[fi]] = cand
+        better = uf > union_counts
+        union_counts = np.where(better, uf, union_counts)
+        fpr_row = np.zeros(U, dtype=np.float64)
+        fpr_row[ctx.filter_cols[fi]] = ctx.filter_fprs[fi]
+        union_fpr = np.where(better, fpr_row[None, :], union_fpr)
+
+    kept_any = union_counts > 0
+    max_count = union_counts.max(axis=1)
+    with np.errstate(invalid="ignore"):
+        min_kept = np.where(kept_any, union_counts, np.iinfo(np.int64).max).min(axis=1)
+    min_count = np.minimum(nh, min_kept)
+
+    rel_filter = ctx.level.rel_filter
+    threshold_filter = max_count - np.ceil((max_count - min_count) * rel_filter)
+    pass_filter = kept_any & (union_counts >= threshold_filter[:, None])
+
+    # rel-filter discards
+    disc_f = kept_any & ~pass_filter
+    prefix = batch.prefix
+
+    def _rep(target: str) -> Rep:
+        key = (prefix, target)
+        r = rep.get(key)
+        if r is None:
+            r = Rep()
+            rep[key] = r
+        return r
+
+    if disc_f.any():
+        for j, n in zip(*_colsum(disc_f)):
+            _rep(ctx.union_targets[j]).disc_filter += int(n)
+        tot.discarded_matches_filter += int(disc_f.sum())
+
+    # fpr-query filter
+    final = pass_filter
+    if ctx.level.fpr_query < 1.0:
+        cache = BinomTailCache()
+        final = pass_filter.copy()
+        ii, jj = np.nonzero(pass_filter)
+        for i, j in zip(ii, jj):
+            q = cache.q(
+                int(union_counts[i, j]), int(nh[i]), float(union_fpr[i, j])
+            )
+            if q > ctx.level.fpr_query:
+                final[i, j] = False
+                _rep(ctx.union_targets[j]).disc_fpr += 1
+                tot.discarded_matches_fprquery += 1
+
+    classified = final.any(axis=1)
+    n_matches = final.sum(axis=1)
+
+    tot.seqs_classified += int(classified.sum())
+    tot.kmers_from_classified_seqs += int(nh[classified].sum())
+    tot.kmers_matches += int(max_count[classified].sum())
+    tot.matches += int(n_matches.sum())
+    tot.seqs_unique += int((classified & (n_matches == 1)).sum())
+
+    for j, n in zip(*_colsum(final)):
+        _rep(ctx.union_targets[j]).matches += int(n)
+
+    write_all = out.get(all_files[prefix]) if cfg.output_all else None
+    write_one = (
+        out.get(one_files[prefix]) if (cfg.output_lca and not cfg.skip_lca) else None
+    )
+
+    leftover = ReadBatch(prefix=prefix, paired=batch.paired)
+    for i in range(B0):
+        if classified[i]:
+            idxs = np.nonzero(final[i])[0]
+            if write_all is not None:
+                rid = batch.ids[i]
+                for j in idxs:
+                    write_all.write(
+                        f"{rid}\t{ctx.union_targets[j]}\t{union_counts[i, j]}\n"
+                    )
+            if n_matches[i] == 1:
+                t = ctx.union_targets[idxs[0]]
+                _rep(t).seqs_unique += 1
+                if write_one is not None:
+                    write_one.write(f"{batch.ids[i]}\t{t}\t{union_counts[i, idxs[0]]}\n")
+            else:
+                if not cfg.skip_lca:
+                    names = [ctx.union_targets[j] for j in idxs]
+                    t = ctx.lca.lca(names)
+                    _rep(t).seqs_lca += 1
+                    if write_one is not None:
+                        write_one.write(f"{batch.ids[i]}\t{t}\t{max_count[i]}\n")
+                else:
+                    _rep(cfg.tax_root_node).seqs_lca += 1
+        else:
+            if not last:
+                leftover.ids.append(batch.ids[i])
+                leftover.seqs.append(batch.seqs[i])
+                if batch.paired:
+                    leftover.seqs2.append(batch.seqs2[i])
+            elif cfg.output_unclassified:
+                out.get(cfg.output_prefix + prefix + ".unc").write(
+                    batch.ids[i] + "\n"
+                )
+    return leftover if not last else None
+
+
+def _colsum(mask: np.ndarray):
+    s = mask.sum(axis=0)
+    j = np.nonzero(s)[0]
+    return j, s[j]
+
+
+def _write_rep(rep, ctx: LevelContext, cfg: ClassifyConfig, label, out: _Out):
+    """Write one level's .rep rows (GanonClassify.cpp:834-853)."""
+    by_prefix: dict[str, list] = {}
+    for (prefix, target), r in rep.items():
+        if r.matches or r.seqs_lca or r.seqs_unique:
+            by_prefix.setdefault(prefix, []).append((target, r))
+    for prefix, items in by_prefix.items():
+        f = out.get(cfg.output_prefix + prefix + ".rep")
+        for target, r in items:
+            line = f"{label}\t{target}\t{r.matches}\t{r.seqs_unique}\t{r.seqs_lca}"
+            if ctx.tax:
+                node = ctx.tax.get(target, (cfg.tax_root_node, "no rank", target))
+                line += f"\t{node[1]}\t{node[2]}"
+            f.write(line + "\n")
+
+
+def _write_stats(cfg, totals, hierarchy_totals, levels, prefixes):
+    """.sta TSV, 18 columns per hierarchy + -total- row
+    (GanonClassify.cpp:1130-1218)."""
+    header = [
+        "prefix", "hierarchy_label", "seq_processed", "seq_unclassified",
+        "seq_classified", "seq_classified_perc", "seq_unique_matches",
+        "seq_unique_matches_perc", "seq_multiple_matches",
+        "seq_multiple_matches_perc", "matches", "avg_matches_ref_seq",
+        "dis_matches_rel_filter", "dis_matches_fpr_query", "kmers_proccessed",
+        "kmers_matched", "kmers_from_classified_seqs", "kmers_matched_perc",
+    ]
+    for p in prefixes:
+        total = totals[p]
+        seq_unclassified = total.seqs_processed - total.seqs_classified
+        seq_processed = float(total.seqs_processed) if total.seqs_processed else 1.0
+        with open(cfg.output_prefix + p + ".sta", "w") as f:
+            f.write("\t".join(header) + "\n")
+
+            def row(t: Total, label: str):
+                smm = t.seqs_classified - t.seqs_unique
+                avg = t.matches / t.seqs_classified if t.seqs_classified else 0
+                kperc = (
+                    (t.kmers_matches / t.kmers_from_classified_seqs) * 100
+                    if t.kmers_matches
+                    else 0
+                )
+                cols = [
+                    p, label, int(seq_processed), seq_unclassified,
+                    t.seqs_classified,
+                    f"{(t.seqs_classified / seq_processed) * 100:.6f}",
+                    t.seqs_unique,
+                    f"{(t.seqs_unique / seq_processed) * 100:.6f}",
+                    smm,
+                    f"{(smm / seq_processed) * 100:.6f}",
+                    t.matches,
+                    f"{avg:.6f}",
+                    t.discarded_matches_filter,
+                    t.discarded_matches_fprquery,
+                    total.kmers_processed,
+                    t.kmers_matches,
+                    t.kmers_from_classified_seqs,
+                    f"{kperc:.6f}",
+                ]
+                f.write("\t".join(str(c) for c in cols) + "\n")
+
+            for label in levels:
+                row(hierarchy_totals[label][p], label)
+            if len(levels) > 1:
+                row(total, "-total-")
+
+
+def _print_stats(totals):
+    for p, t in totals.items():
+        sp = float(t.seqs_processed) if t.seqs_processed else 1.0
+        print(
+            f"{'[' + p + '] ' if p else ''}{t.seqs_classified} sequences "
+            f"classified ({t.seqs_classified / sp * 100:.2f}%), "
+            f"{t.seqs_unique} unique, {t.matches} matches",
+            file=sys.stderr,
+        )
