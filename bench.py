@@ -1,0 +1,158 @@
+"""Classification throughput benchmark on one TPU chip.
+
+Builds a synthetic reference database (deterministic random genomes, cached
+under .bench_cache/), streams paired 150bp reads through the fused device
+classify step (minimizer extraction + IBF bulk count + target aggregation +
+clamp), and reports reads/sec/chip.
+
+Baseline: the reference repo publishes no reads/sec figure; its only
+in-tree classify throughput is the documented toy log of 372.3 Mbp/m
+(docs/classification.md:44, 2000 seqs / 0.2 Mbp in 0.032 s). vs_baseline
+is our Mbp/m over that number.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+K, W = 19, 31
+N_TARGETS = 32
+GENOME_LEN = 1_000_000
+READ_LEN = 150
+BATCH = 8192
+N_BATCHES = 16
+CHUNK = 1 << 18
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+BASELINE_MBP_PER_MIN = 372.3  # reference docs/classification.md:44
+
+
+def build_database(rng):
+    from ganon_tpu.index.ibf import IBF, build_ibf
+    from ganon_tpu.ops.minimizers import window_mins_jax
+
+    genomes = rng.integers(0, 4, size=(N_TARGETS, GENOME_LEN), dtype=np.uint8)
+    db_path = os.path.join(CACHE_DIR, "db.ibf")
+    if os.path.exists(db_path):
+        try:
+            return genomes, IBF.load(db_path)
+        except Exception:
+            pass
+
+    step = CHUNK - (W - 1)
+    starts = list(range(0, GENOME_LEN - W + 1, step))
+    target_hashes = {}
+    for t in range(N_TARGETS):
+        chunks = np.zeros((len(starts), CHUNK), dtype=np.uint8)
+        lens = np.zeros(len(starts), dtype=np.int32)
+        for i, s in enumerate(starts):
+            piece = genomes[t, s : s + CHUNK]
+            chunks[i, : len(piece)] = piece
+            lens[i] = len(piece)
+        mv, valid = window_mins_jax(chunks, lens, k=K, w=W)
+        target_hashes[f"T{t}"] = np.unique(np.asarray(mv)[np.asarray(valid)])
+    ibf = build_ibf(target_hashes, kmer_size=K, window_size=W, max_fp=0.05)
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    ibf.save(db_path)
+    return genomes, ibf
+
+
+def sample_paired_reads(rng, genomes, n):
+    tgt = rng.integers(0, N_TARGETS, size=n)
+    pos1 = rng.integers(0, GENOME_LEN - READ_LEN, size=n)
+    pos2 = rng.integers(0, GENOME_LEN - READ_LEN, size=n)
+    idx = np.arange(READ_LEN)
+    r1 = genomes[tgt[:, None], pos1[:, None] + idx]
+    r2 = 3 - genomes[tgt[:, None], pos2[:, None] + idx][:, ::-1]  # revcomp mate
+    lengths = np.full(n, READ_LEN, dtype=np.int32)
+    return r1.astype(np.uint8), r2.astype(np.uint8), lengths
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ganon_tpu.classify.device import classify_counts_fused
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    rng = np.random.default_rng(42)
+    t0 = time.time()
+    genomes, ibf = build_database(rng)
+    print(f"db ready in {time.time() - t0:.1f}s: {ibf.ibf_config}", file=sys.stderr)
+
+    cfg = ibf.ibf_config
+    bits = jnp.asarray(ibf.bits)
+    b2t = jnp.asarray(ibf.bin_to_target_ids())
+    m = READ_LEN - W + 1
+
+    def step(j1, jl, j2):
+        return classify_counts_fused(
+            bits, b2t, j1, jl, j2, jl,
+            k=K, w=W, m1=m, m2=m,
+            bin_size=cfg.bin_size_bits,
+            hash_functions=cfg.hash_functions,
+            num_targets=len(ibf.targets()),
+        )
+
+    r1, r2, lengths = sample_paired_reads(rng, genomes, BATCH)
+    c, n = step(jnp.asarray(r1), jnp.asarray(lengths), jnp.asarray(r2))
+    c.block_until_ready()  # compile warmup
+
+    # stage all batches on device, then run them in ONE dispatch (lax.scan)
+    # so the relay's per-call latency does not pollute the device number
+    a1 = np.zeros((N_BATCHES, BATCH, READ_LEN), np.uint8)
+    a2 = np.zeros((N_BATCHES, BATCH, READ_LEN), np.uint8)
+    al = np.zeros((N_BATCHES, BATCH), np.int32)
+    for i in range(N_BATCHES):
+        a1[i], a2[i], al[i] = sample_paired_reads(rng, genomes, BATCH)
+    j1, j2, jl = jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(al)
+    jax.block_until_ready((j1, j2, jl))
+
+    @jax.jit
+    def run_all(j1, j2, jl):
+        def body(carry, xs):
+            b1, b2, bl = xs
+            c, n = step(b1, bl, b2)
+            # fold outputs so nothing large leaves the device
+            return carry + c.sum() + n.sum(), None
+
+        total, _ = jax.lax.scan(body, jnp.int64(0), (j1, j2, jl))
+        return total
+
+    run_all(j1, j2, jl).block_until_ready()  # compile
+    t0 = time.time()
+    total = run_all(j1, j2, jl)
+    total.block_until_ready()
+    elapsed = time.time() - t0
+
+    total_reads = BATCH * N_BATCHES
+    reads_per_sec = total_reads / elapsed
+    mbp = total_reads * 2 * READ_LEN / 1e6
+    mbp_per_min = mbp / (elapsed / 60)
+    print(
+        f"{total_reads} paired reads in {elapsed:.3f}s "
+        f"({reads_per_sec:,.0f} reads/s, {mbp_per_min:,.0f} Mbp/m)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "classify_reads_per_sec_chip",
+                "value": round(reads_per_sec, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(mbp_per_min / BASELINE_MBP_PER_MIN, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ganon_tpu.ops.minimizers import encode_seqs, minimizers_jax
+from ganon_tpu.ops.minimizers import encode_seqs, minimizers_masked_jax
 from ganon_tpu.ops.ibf_query import ibf_row_indices, bulk_count_bins, target_counts
 
 
@@ -34,20 +34,22 @@ def extract_hashes(codes1, len1, codes2, len2, *, k: int, w: int, m1: int, m2: i
     is shorter than ``w`` is skipped entirely (``n_hashes == 0``), matching
     GanonClassify.cpp:689-700.
 
-    Returns (hashes uint64 [B, m1+m2], mask bool [B, m1+m2], n_hashes int32 [B]).
+    Uses the compaction-free (values, emission-mask) representation — the
+    bulk count consumes masked values, so no argsort/gather is needed.
+    ``m1``/``m2`` cap the per-mate hash positions (normally ``L - w + 1``).
+
+    Returns (hashes uint64 [B, <=m1+m2], mask bool [...], n_hashes int32 [B]).
     """
-    h1, n1 = minimizers_jax(codes1, len1, k=k, w=w, max_minimizers=m1)
-    pos1 = jnp.arange(m1, dtype=jnp.int32)[None, :]
-    mask1 = pos1 < n1[:, None]
+    h1, e1, n1 = minimizers_masked_jax(codes1, len1, k=k, w=w)
+    h1, e1 = h1[:, :m1], e1[:, :m1]
     if codes2 is not None:
-        h2, n2 = minimizers_jax(codes2, len2, k=k, w=w, max_minimizers=m2)
-        pos2 = jnp.arange(m2, dtype=jnp.int32)[None, :]
-        mask2 = pos2 < n2[:, None]
+        h2, e2, n2 = minimizers_masked_jax(codes2, len2, k=k, w=w)
+        h2, e2 = h2[:, :m2], e2[:, :m2]
         hashes = jnp.concatenate([h1, h2], axis=1)
-        mask = jnp.concatenate([mask1, mask2], axis=1)
+        mask = jnp.concatenate([e1, e2], axis=1)
         n_hashes = n1 + n2
     else:
-        hashes, mask, n_hashes = h1, mask1, n1
+        hashes, mask, n_hashes = h1, e1, n1
     read_ok = (len1 >= w)[:, None]
     mask = mask & read_ok
     n_hashes = jnp.where(len1 >= w, n_hashes, 0)
@@ -65,6 +67,31 @@ def filter_counts(
     tc = target_counts(bc, bin_to_target, num_targets=num_targets)
     # a target split across several technical bins can exceed n_hashes
     return jnp.minimum(tc, n_hashes[:, None])
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "w", "m1", "m2", "bin_size", "hash_functions", "num_targets"
+    ),
+)
+def classify_counts_fused(
+    bits, bin_to_target, codes1, len1, codes2, len2, *,
+    k: int, w: int, m1: int, m2: int,
+    bin_size: int, hash_functions: int, num_targets: int,
+):
+    """One-dispatch classify step: codes -> clamped per-target counts.
+
+    Fuses hash extraction (single or paired) with the bulk count so a
+    batch costs a single host->device round trip.
+    """
+    hashes, mask, n_hashes = extract_hashes(
+        codes1, len1, codes2, len2, k=k, w=w, m1=m1, m2=m2
+    )
+    rows = ibf_row_indices(hashes, bin_size=bin_size, hash_functions=hash_functions)
+    bc = bulk_count_bins(bits, rows, mask)
+    tc = target_counts(bc, bin_to_target, num_targets=num_targets)
+    return jnp.minimum(tc, n_hashes[:, None]), n_hashes
 
 
 class DeviceFilter:

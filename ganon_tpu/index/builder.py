@@ -23,7 +23,7 @@ import numpy as np
 
 from ganon_tpu.index.ibf import IBF, build_ibf
 from ganon_tpu.io.sequence import SequenceReader
-from ganon_tpu.ops.minimizers import encode_seqs, minimizers_jax
+from ganon_tpu.ops.minimizers import encode_seqs, window_mins_jax
 
 # chunk length for device minimizer extraction over long sequences
 CHUNK = 1 << 18
@@ -102,7 +102,11 @@ def parse_target_info(
 def sequence_hashes(
     seq: str, k: int, w: int, _batch: list | None = None
 ) -> np.ndarray:
-    """All emitted minimizer values of one sequence (device, chunked)."""
+    """Distinct minimizer values of one sequence (device, chunked).
+
+    Uses the compaction-free window-min kernel: the set of window minima
+    equals the set of emitted minimizers, and build deduplicates anyway.
+    """
     if len(seq) < w:
         return np.empty(0, dtype=np.uint64)
     step = CHUNK - (w - 1)
@@ -111,15 +115,14 @@ def sequence_hashes(
     for piece in pieces:
         L = CHUNK if len(piece) == CHUNK else _bucket(len(piece))
         codes, lengths = encode_seqs([piece], max_len=L)
-        h, n = minimizers_jax(
-            codes, lengths, k=k, w=w, max_minimizers=max(L - w + 1, 1)
-        )
-        n0 = int(np.asarray(n)[0])
-        if n0:
-            out.append(np.asarray(h)[0, :n0])
+        mv, valid = window_mins_jax(codes, lengths, k=k, w=w)
+        mv, valid = np.asarray(mv)[0], np.asarray(valid)[0]
+        vals = mv[valid]
+        if len(vals):
+            out.append(np.unique(vals))
     if not out:
         return np.empty(0, dtype=np.uint64)
-    return np.concatenate(out)
+    return np.unique(np.concatenate(out))
 
 
 def _bucket(n: int, minimum: int = 4096) -> int:

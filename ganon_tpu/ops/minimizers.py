@@ -197,3 +197,85 @@ def minimizers_jax(codes, lengths, *, k: int, w: int, max_minimizers: int):
     out_mask = jnp.arange(max_minimizers, dtype=jnp.int32)[None, :] < n_hashes[:, None]
     hashes = jnp.where(out_mask, hashes, jnp.uint64(0))
     return hashes, n_hashes
+
+
+@partial(jax.jit, static_argnames=("k", "w"))
+def minimizers_masked_jax(codes, lengths, *, k: int, w: int):
+    """Minimizers as (window-min values, emission mask) — no compaction.
+
+    Classify-path fast variant of :func:`minimizers_jax`: the bulk-count
+    kernel consumes (values, mask) pairs, so the argsort compaction is
+    unnecessary. Returns ``(minval uint64 [B, L-w+1], emit bool [B, L-w+1],
+    n_hashes int32 [B])`` with identical emission semantics (an emitted
+    multiset equal to minimizers_jax's output).
+    """
+    B, L = codes.shape
+    if L < w:
+        return (
+            jnp.zeros((B, 1), dtype=jnp.uint64),
+            jnp.zeros((B, 1), dtype=bool),
+            jnp.zeros((B,), dtype=jnp.int32),
+        )
+    c = codes.astype(jnp.uint64)
+    nk = L - k + 1
+    seed = jnp.uint64(adjust_seed(k))
+    fwd = jnp.zeros((B, nk), dtype=jnp.uint64)
+    rc = jnp.zeros((B, nk), dtype=jnp.uint64)
+    for j in range(k):
+        col = c[:, j : j + nk]
+        fwd = (fwd << jnp.uint64(2)) | col
+        rc = rc | ((jnp.uint64(3) - col) << jnp.uint64(2 * j))
+    canon = jnp.minimum(fwd ^ seed, rc ^ seed)
+    kpos = jnp.arange(nk, dtype=jnp.int32)[None, :]
+    canon = jnp.where(kpos + k <= lengths[:, None], canon, jnp.uint64(_U64_MAX))
+
+    ww = w - k + 1
+    nw = L - w + 1
+    minval = canon[:, :nw]
+    minpos = jnp.broadcast_to(jnp.arange(nw, dtype=jnp.int32), (B, nw))
+    for j in range(1, ww):
+        cand = canon[:, j : j + nw]
+        take = cand < minval
+        minval = jnp.where(take, cand, minval)
+        minpos = jnp.where(take, jnp.arange(nw, dtype=jnp.int32) + j, minpos)
+
+    wpos = jnp.arange(nw, dtype=jnp.int32)[None, :]
+    valid_w = wpos + w <= lengths[:, None]
+    emit = jnp.concatenate(
+        [valid_w[:, :1], valid_w[:, 1:] & (minpos[:, 1:] != minpos[:, :-1])], axis=1
+    )
+    n_hashes = jnp.sum(emit, axis=1).astype(jnp.int32)
+    return minval, emit, n_hashes
+
+
+@partial(jax.jit, static_argnames=("k", "w"))
+def window_mins_jax(codes, lengths, *, k: int, w: int):
+    """Window minima without emission compaction (build-side fast path).
+
+    The *set* of emitted minimizers equals the set of per-window minima
+    (emission only collapses repeats), so index construction — which
+    deduplicates into a set anyway — can skip the argsort compaction.
+
+    Returns ``(minval uint64 [B, L-w+1], valid bool [B, L-w+1])``.
+    """
+    B, L = codes.shape
+    c = codes.astype(jnp.uint64)
+    nk = L - k + 1
+    seed = jnp.uint64(adjust_seed(k))
+    fwd = jnp.zeros((B, nk), dtype=jnp.uint64)
+    rc = jnp.zeros((B, nk), dtype=jnp.uint64)
+    for j in range(k):
+        col = c[:, j : j + nk]
+        fwd = (fwd << jnp.uint64(2)) | col
+        rc = rc | ((jnp.uint64(3) - col) << jnp.uint64(2 * j))
+    canon = jnp.minimum(fwd ^ seed, rc ^ seed)
+    kpos = jnp.arange(nk, dtype=jnp.int32)[None, :]
+    canon = jnp.where(kpos + k <= lengths[:, None], canon, jnp.uint64(_U64_MAX))
+    ww = w - k + 1
+    nw = L - w + 1
+    minval = canon[:, :nw]
+    for j in range(1, ww):
+        minval = jnp.minimum(minval, canon[:, j : j + nw])
+    wpos = jnp.arange(nw, dtype=jnp.int32)[None, :]
+    valid = wpos + w <= lengths[:, None]
+    return minval, valid

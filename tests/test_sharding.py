@@ -1,0 +1,57 @@
+"""Multi-device sharding: results identical to single-device reference."""
+
+import numpy as np
+import jax
+
+from ganon_tpu.parallel.mesh import make_mesh, ShardedClassifier
+from ganon_tpu.index.ibf import build_ibf
+
+
+def _ibf(seed=0, n_targets=12):
+    rng = np.random.default_rng(seed)
+    th = {
+        f"T{i}": np.unique(rng.integers(0, 2**62, size=300, dtype=np.uint64))
+        for i in range(n_targets)
+    }
+    return build_ibf(th, kmer_size=19, window_size=31, max_fp=0.05)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(jax.devices())
+    assert mesh.devices.size == len(jax.devices())
+    assert mesh.axis_names == ("batch", "bins")
+
+
+def test_sharded_counts_match_single_device():
+    ibf = _ibf()
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=(16, 96)).astype(np.uint8)
+    lengths = np.full((16,), 96, dtype=np.int32)
+    lengths[3] = 20  # shorter than window -> zero hashes
+    lengths[7] = 50
+
+    multi = ShardedClassifier(ibf, make_mesh(jax.devices()))
+    c_multi, n_multi = multi.counts(codes, lengths)
+
+    single = ShardedClassifier(ibf, make_mesh(jax.devices()[:1]))
+    c_single, n_single = single.counts(codes, lengths)
+
+    assert (np.asarray(c_multi) == np.asarray(c_single)).all()
+    assert (np.asarray(n_multi) == np.asarray(n_single)).all()
+    assert np.asarray(n_multi)[3] == 0
+
+
+def test_graft_entry():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "/root/repo/__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fn, args = mod.entry()
+    counts, n_hashes = jax.jit(fn)(*args)
+    assert counts.shape[0] == args[2].shape[0]
+
+    mod.dryrun_multichip(len(jax.devices()))
