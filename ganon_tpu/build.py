@@ -1,0 +1,527 @@
+"""build / build-custom / update orchestration.
+
+Functional equivalent of ``/root/reference/src/ganon/build_update.py``:
+parses input files/sequences, resolves taxonomy (NCBI/GTDB/custom, offline
+files supported), writes ``.tax`` + ``target_info.tsv``, runs the TPU
+build engine, and supports resume states, restart and pickled-config
+updates. Network acquisition (genome_updater equivalent) accepts local
+assembly_summary files for offline operation.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import re
+import shutil
+import sys
+import time
+
+import pandas as pd
+
+from ganon_tpu import taxonomy as taxmod
+from ganon_tpu.index.builder import BuildConfig, run_build
+from ganon_tpu.util import (
+    check_file,
+    clear_states,
+    load_state,
+    print_log,
+    rm_files,
+    save_state,
+    set_output_folder,
+    validate_input_files,
+)
+
+INFO_COLS = ["file", "target", "node", "specialization", "specialization_name"]
+CHOICES_LEVEL = ["assembly", "custom"]
+CHOICES_INPUT_TARGET = ["file", "sequence"]
+
+
+# --------------------------------------------------------------------------
+# input parsing
+
+
+def parse_input_file(input_file, input_target, quiet=True):
+    """--input-file TSV with 1..5 cols (build_update.py:586-610)."""
+    info = pd.read_csv(input_file, sep="\t", header=None, dtype=object)
+    info.rename(columns=lambda x: INFO_COLS[x], inplace=True)
+    info = pd.concat([info, pd.DataFrame(columns=INFO_COLS)])
+    if info["target"].isna().all() and input_target == "file":
+        info["target"] = info["file"].apply(os.path.basename)
+    total = len(info["file"].unique().tolist())
+    valid = validate_input_files(info["file"].unique().tolist(), "", quiet)
+    if total - len(valid) > 0:
+        info = info[info["file"].isin(valid)]
+        print_log(f" - {total - len(valid)} invalid files skipped", quiet)
+    return info
+
+
+ASSEMBLY_ACCESSION_RE = re.compile(r"GC[A|F]_[0-9]+\.[0-9]+")
+
+
+def parse_file_accession(input_files):
+    """Assembly accession from filename, else basename
+    (tax_util.py:55-74)."""
+    rows = []
+    for file in input_files:
+        m = ASSEMBLY_ACCESSION_RE.search(file)
+        rows.append((m.group() if m else os.path.basename(file), file))
+    info = pd.DataFrame(columns=INFO_COLS)
+    info[["target", "file"]] = pd.DataFrame(rows)
+    return info
+
+
+def parse_sequence_accession(input_files, build_output_folder):
+    """Split input fastas per sequence; target = seqid up to first space
+    (tax_util.py:11-52, python instead of awk)."""
+    from ganon_tpu.io.sequence import SequenceReader
+
+    rows = []
+    n_folders = 10
+    for sub in range(n_folders):
+        os.makedirs(os.path.join(build_output_folder, str(sub)), exist_ok=True)
+    i = 0
+    for file in input_files:
+        for header, seq in SequenceReader(file):
+            seqid = header.split(" ")[0]
+            sub = str(i % n_folders)
+            out = os.path.join(build_output_folder, sub, seqid + ".fna")
+            with open(out, "w") as f:
+                f.write(f">{header}\n{seq}\n")
+            rows.append((seqid, out))
+            i += 1
+    info = pd.DataFrame(columns=INFO_COLS)
+    if rows:
+        info[["target", "file"]] = pd.DataFrame(rows)
+    return info
+
+
+def load_input(cfg, input_files, build_output_folder):
+    """Target info frame from --input-file or --input
+    (build_update.py:611-694)."""
+    if cfg.input_file:
+        info = parse_input_file(cfg.input_file, cfg.input_target, cfg.quiet)
+        if cfg.input_target == "sequence":
+            info_seqs = parse_sequence_accession(
+                info["file"].unique().tolist(), build_output_folder
+            )
+            info = pd.merge(
+                left=info, right=info_seqs, on="target", suffixes=("", "_seqs")
+            )[INFO_COLS + ["file_seqs"]]
+            info["file"] = info["file_seqs"]
+            info.drop("file_seqs", axis=1, inplace=True)
+    else:
+        if cfg.input_target == "sequence":
+            info = parse_sequence_accession(input_files, build_output_folder)
+        else:
+            info = parse_file_accession(input_files)
+
+    info.dropna(how="all", inplace=True)
+    info.dropna(subset=["target"], inplace=True)
+    info.drop_duplicates(subset=["target"], inplace=True)
+    info.set_index("target", inplace=True)
+    print_log(f" - {info.shape[0]} unique entries", cfg.quiet)
+    return info
+
+
+# --------------------------------------------------------------------------
+# taxonomy resolution
+
+
+def load_taxonomy(cfg):
+    tax_ver = cfg.taxonomy.split("-")
+    if tax_ver[0] == "ncbi":
+        if not cfg.taxonomy_files:
+            raise ValueError(
+                "offline build requires --taxonomy-files (nodes/names.dmp or "
+                "taxdump.tar.gz)"
+            )
+        tax = taxmod.load_ncbi(files=cfg.taxonomy_files)
+    elif tax_ver[0] == "gtdb":
+        if not cfg.taxonomy_files:
+            raise ValueError("offline build requires --taxonomy-files (gtdb tsv)")
+        tax = taxmod.load_gtdb(files=cfg.taxonomy_files)
+    else:
+        raise ValueError(f"unknown taxonomy: {cfg.taxonomy}")
+    if cfg.level not in [None, "", "leaves"] + CHOICES_LEVEL:
+        if cfg.level not in tax.ranks():
+            print_log(
+                f" - {cfg.level} not found in taxonomic ranks, changing to "
+                "--level 'leaves'",
+                cfg.quiet,
+            )
+            cfg.level = "leaves"
+    return tax
+
+
+def get_file_info(cfg, info, tax):
+    """Resolve taxids (+assembly specialization) from assembly_summary
+    files (tax_util.py:227-300, offline path)."""
+    files = [f for f in cfg.ncbi_file_info if check_file(f)]
+    if not files:
+        raise ValueError(
+            "offline build requires local assembly_summary file(s) via "
+            "--ncbi-file-info"
+        )
+    counts = parse_assembly_summary(info, files, cfg.level)
+    for f, cnt in counts.items():
+        print_log(f" - {cnt} entries found in {os.path.basename(f)}", cfg.quiet)
+
+
+def get_sequence_info(cfg, info, tax):
+    """Resolve taxids for sequence accessions from accession2taxid files
+    (tax_util.py:303-437, offline path)."""
+    files = [f for f in cfg.ncbi_sequence_info if check_file(f)]
+    if not files:
+        raise ValueError(
+            "offline build requires local accession2taxid file(s) via "
+            "--ncbi-sequence-info"
+        )
+    counts = parse_acc2txid(info, files)
+    for f, cnt in counts.items():
+        print_log(f" - {cnt} entries found in {os.path.basename(f)}", cfg.quiet)
+
+
+def parse_acc2txid(info, acc2txid_files):
+    """accession.version -> taxid merge (tax_util.py:440-482)."""
+    count = {}
+    unique_acc = set(info.index)
+    for acc2txid in acc2txid_files:
+        count[acc2txid] = 0
+        with pd.read_csv(
+            acc2txid, sep="\t", header=None, skiprows=1, usecols=[1, 2],
+            names=["target", "node"], index_col="target",
+            converters={"target": lambda x: x if x in unique_acc else None,
+                        "node": str},
+            chunksize=10**6,
+        ) as reader:
+            for chunk in reader:
+                chunk = chunk[chunk.index.notnull()]
+                chunk = chunk[chunk["node"] != "0"]
+                if chunk.shape[0]:
+                    info.update(chunk)
+                    count[acc2txid] += chunk.shape[0]
+                    if sum(count.values()) == len(unique_acc):
+                        break
+    return count
+
+
+def parse_assembly_summary(info, assembly_summary_files, level):
+    """assembly accession -> taxid (+assembly specialization)
+    (tax_util.py:485-552)."""
+    count = {}
+    unique_acc = set(info.index)
+    for summary in assembly_summary_files:
+        header_lines = 0
+        with open(summary) as f:
+            for line in f:
+                if line[0] == "#":
+                    header_lines += 1
+                else:
+                    break
+        tmp = pd.read_csv(
+            summary, sep="\t", header=None, skiprows=header_lines,
+            usecols=[0, 5, 7, 8],
+            names=["target", "node", "organism_name", "infraspecific_name"],
+            index_col="target",
+            converters={"target": lambda x: x if x in unique_acc else None,
+                        "node": str},
+        )
+        tmp = tmp[tmp.index.notnull()]
+        count[summary] = tmp.shape[0]
+        if not count[summary]:
+            continue
+        if level == "assembly":
+            tmp["infraspecific_name"] = (
+                tmp["infraspecific_name"].replace("^[a-z]+=", "", regex=True)
+                .fillna("")
+            )
+
+            def build_name(n):
+                if n.organism_name.endswith(n.infraspecific_name):
+                    return n.organism_name
+                return n.organism_name + " " + n.infraspecific_name
+
+            tmp["specialization_name"] = tmp[
+                ["organism_name", "infraspecific_name"]
+            ].apply(build_name, axis=1)
+            tmp["specialization"] = tmp.index
+        info.update(tmp)
+        if sum(count.values()) == len(unique_acc):
+            break
+    return count
+
+
+def validate_convert_taxonomy(info, tax, cfg):
+    """Validate nodes on the taxonomy; apply --level rank projection
+    (build_update.py:860-1001; cross-taxonomy conversion not yet
+    supported)."""
+    info["node"] = info["node"].apply(
+        lambda n: tax.latest(n) if pd.notna(n) else None
+    )
+    info["node"] = info["node"].replace("", None)
+
+    if cfg.level and cfg.level not in ["leaves"] + CHOICES_LEVEL:
+        info["node"] = info["node"].apply(
+            lambda n: tax.parent_rank(n, cfg.level) if n else None
+        )
+        info["node"] = info["node"].replace("", None)
+
+    na_entries = int(info["node"].isna().sum())
+    if cfg.keep_invalid_taxa:
+        info["node"] = info["node"].fillna(tax.root_node)
+        if na_entries:
+            print_log(
+                f" - {na_entries} entries without valid taxonomic nodes kept "
+                "at the root node",
+                cfg.quiet,
+            )
+    elif na_entries > 0:
+        print_log(
+            f" - {na_entries} entries without valid taxonomic nodes skipped",
+            cfg.quiet,
+        )
+        info.dropna(subset=["node"], inplace=True)
+    return tax
+
+
+def validate_specialization(info, quiet):
+    """Each specialization must have exactly one parent node
+    (build_update.py:800-856)."""
+    if all(info.specialization.isna()):
+        print_log(" - No specialization provided/retrieved", quiet)
+    else:
+        idx_null = info.specialization.isna()
+        node_spec = info[["node", "specialization"]].drop_duplicates()
+        idx_multi = info.specialization.isin(
+            node_spec.specialization[
+                node_spec.specialization.duplicated(keep=False)
+            ].unique()
+        )
+        idx_replace = idx_null | idx_multi
+        if idx_replace.any():
+            info.loc[idx_replace, "specialization"] = info.index[idx_replace]
+            info.loc[idx_replace, "specialization_name"] = info.index[idx_replace]
+    info.dropna(subset=["specialization"], inplace=True)
+    info["specialization_name"] = info["specialization_name"].fillna(
+        info["specialization"]
+    )
+
+
+def write_tax(tax_file, info, tax, genome_sizes, user_bins_col, level,
+              input_target):
+    """.tax writer with specialization nodes + genome_size column
+    (build_update.py:736-778)."""
+    if user_bins_col != "node":
+        tax_rank = level if level else input_target
+        for target, row in info.iterrows():
+            tax_node = (
+                row["specialization"] if user_bins_col == "specialization" else target
+            )
+            tax_name = (
+                row["specialization_name"]
+                if user_bins_col == "specialization"
+                else target
+            )
+            if tax.latest(tax_node) == tax.undefined_node:
+                tax.add(tax_node, row["node"], name=tax_name, rank=tax_rank)
+            else:
+                assert tax.parent(tax_node) == row["node"]
+    rm_files(tax_file)
+    root_gs = genome_sizes.get(tax.root_node, 1)
+    with open(tax_file, "w") as f:
+        for node in tax.nodes():
+            gs = genome_sizes.get(node)
+            if gs is None:
+                gs = genome_sizes.get(tax.parent(node), root_gs)
+            f.write(
+                f"{node}\t{tax.parent(node)}\t{tax.rank(node)}\t"
+                f"{tax.name(node)}\t{gs}\n"
+            )
+
+
+def write_target_info(info, user_bins_col, target_info_file):
+    with open(target_info_file, "w") as f:
+        for target, row in info.iterrows():
+            t = row[user_bins_col] if user_bins_col != "target" else target
+            f.write(f"{row['file']}\t{t}\n")
+
+
+def write_info_file(info, filename):
+    info.reset_index()[INFO_COLS].to_csv(
+        filename, sep="\t", header=False, index=False
+    )
+
+
+# --------------------------------------------------------------------------
+# main orchestration
+
+
+def build_custom(cfg, which_call: str = "build_custom") -> bool:
+    files_output_folder = set_output_folder(cfg.db_prefix)
+    build_output_folder = os.path.join(files_output_folder, "build/")
+    target_info_file = os.path.join(build_output_folder, "target_info.tsv")
+
+    if which_call == "build_custom" and cfg.restart:
+        shutil.rmtree(files_output_folder, ignore_errors=True)
+
+    if load_state(which_call + "_parse", files_output_folder):
+        print_log("Parse finished - skipping", cfg.quiet)
+    else:
+        tax = None
+        input_files = []
+        shutil.rmtree(build_output_folder, ignore_errors=True)
+        os.makedirs(build_output_folder, exist_ok=True)
+
+        if cfg.input:
+            input_files = validate_input_files(
+                cfg.input, cfg.input_extension, cfg.quiet,
+                input_recursive=cfg.input_recursive,
+            )
+            if not input_files:
+                raise ValueError("No valid input files found")
+
+        if cfg.taxonomy != "skip":
+            tax = load_taxonomy(cfg)
+
+        info = load_input(cfg, input_files, build_output_folder)
+        user_bins_col = "target"
+        if cfg.level in CHOICES_LEVEL:
+            user_bins_col = "specialization"
+        elif cfg.level and cfg.level not in CHOICES_INPUT_TARGET:
+            user_bins_col = "node"
+
+        if info.empty:
+            raise ValueError("Unable to parse input files")
+
+        if (tax or cfg.level == "assembly") and not cfg.input_file:
+            if cfg.input_target == "sequence":
+                get_sequence_info(cfg, info, tax)
+            else:
+                get_file_info(cfg, info, tax)
+
+        if tax:
+            tax = validate_convert_taxonomy(info, tax, cfg)
+            if info.empty:
+                raise ValueError("Unable to match taxonomy to targets")
+
+        if cfg.level in CHOICES_LEVEL:
+            validate_specialization(info, cfg.quiet)
+            if info.empty:
+                raise ValueError("Unable to match specialization to targets")
+
+        if tax:
+            unique_nodes = info["node"].unique()
+            if (
+                user_bins_col == "target" and info.index.isin(unique_nodes).any()
+            ) or (
+                user_bins_col == "specialization"
+                and info["specialization"].isin(unique_nodes).any()
+            ):
+                raise ValueError(
+                    f"{user_bins_col} overlaps with taxonomic identifiers"
+                )
+            # genome sizes: offline estimation from provided files (or 1s)
+            if cfg.skip_genome_size or not cfg.genome_size_files:
+                leaves_sizes = {}
+            else:
+                leaves_sizes = taxmod.parse_genome_size_files(
+                    cfg.genome_size_files, cfg.taxonomy
+                )
+            genome_sizes = taxmod.estimate_genome_sizes(
+                unique_nodes, tax, leaves_sizes
+            )
+            tax.filter(unique_nodes)
+            write_tax(
+                cfg.db_prefix + ".tax", info, tax, genome_sizes, user_bins_col,
+                cfg.level, cfg.input_target,
+            )
+
+        if cfg.write_info_file:
+            write_info_file(info, cfg.db_prefix + ".info.tsv")
+
+        write_target_info(info, user_bins_col, target_info_file)
+        save_state(which_call + "_parse", files_output_folder)
+
+    if load_state(which_call + "_run", files_output_folder):
+        print_log("Build finished - skipping", cfg.quiet)
+    else:
+        if cfg.filter_type == "hibf":
+            from ganon_tpu.index.hibf import run_build_hibf
+
+            run_build_hibf(
+                target_info_file=target_info_file,
+                output_file=cfg.db_prefix + ".hibf",
+                kmer_size=cfg.kmer_size,
+                window_size=cfg.window_size,
+                hash_functions=cfg.hash_functions,
+                max_fp=cfg.max_fp,
+                quiet=cfg.quiet,
+            )
+        else:
+            bcfg = BuildConfig(
+                input_file=target_info_file,
+                output_file=cfg.db_prefix + ".ibf",
+                kmer_size=cfg.kmer_size,
+                window_size=cfg.window_size,
+                max_fp=cfg.max_fp if cfg.max_fp else 0,
+                filter_size=cfg.filter_size if cfg.filter_size else 0,
+                hash_functions=cfg.hash_functions,
+                mode=cfg.mode,
+                min_length=cfg.min_length,
+                quiet=cfg.quiet,
+                verbose=cfg.verbose,
+            )
+            run_build(bcfg)
+        save_state(which_call + "_run", files_output_folder)
+
+    ext = ["hibf" if cfg.filter_type == "hibf" else "ibf"]
+    if cfg.taxonomy != "skip":
+        ext.append("tax")
+    ok = all(check_file(cfg.db_prefix + "." + e) for e in ext)
+    if ok:
+        save_config(cfg, os.path.join(files_output_folder, "config.pkl"))
+        if not cfg.keep_files:
+            # keep config.pkl for updates; remove temp build folder
+            shutil.rmtree(
+                os.path.join(files_output_folder, "build/"), ignore_errors=True
+            )
+        clear_states(which_call, files_output_folder)
+        print_log("Build finished successfully", cfg.quiet)
+        return True
+    raise ValueError("build failed - one or more database files not found")
+
+
+def update(cfg) -> bool:
+    """Rebuild with new/extra input using the pickled build config
+    (build_update.py:143-280 semantics, offline)."""
+    files_output_folder = set_output_folder(cfg.db_prefix)
+    config_file = os.path.join(files_output_folder, "config.pkl")
+    if not check_file(config_file):
+        raise ValueError(
+            f"no saved build configuration found at {config_file}; "
+            "run build-custom with the same --db-prefix first"
+        )
+    saved = load_config(config_file)
+    # apply saved build params, overriding input with the update's
+    for key in (
+        "kmer_size", "window_size", "hash_functions", "max_fp", "filter_size",
+        "mode", "min_length", "taxonomy", "taxonomy_files", "level",
+        "input_target", "filter_type", "genome_size_files",
+    ):
+        if key in saved and getattr(cfg, key, None) in (None, "", [], 0):
+            setattr(cfg, key, saved[key])
+    if cfg.output_db_prefix:
+        cfg.db_prefix = cfg.output_db_prefix
+    return build_custom(cfg, which_call="update")
+
+
+def save_config(cfg, config_file):
+    v = {k: val for k, val in vars(cfg).items() if not k.startswith("_")}
+    with open(config_file, "wb") as f:
+        pickle.dump(v, f)
+
+
+def load_config(config_file):
+    with open(config_file, "rb") as f:
+        return pickle.load(f)

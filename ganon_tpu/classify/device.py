@@ -118,6 +118,43 @@ class DeviceFilter:
         )
 
 
+class DeviceHIBF:
+    """A size-stratified IBF forest on device (same interface as
+    DeviceFilter): per-class counts are concatenated in global target
+    order (classes hold disjoint targets)."""
+
+    def __init__(self, hibf, device=None):
+        self.ibf_config = hibf.ibf_config
+        self.targets = hibf.targets()
+        self.num_targets = len(self.targets)
+        tid = {t: i for i, t in enumerate(self.targets)}
+        self.subs = [DeviceFilter(s) for s in hibf.subs]
+        self.sub_cols = [
+            np.asarray([tid[t] for t in s.targets], dtype=np.int64)
+            for s in self.subs
+        ]
+        self.target_fpr = hibf.target_fpr()
+
+    def counts(self, hashes, mask, n_hashes) -> np.ndarray:
+        out = jnp.zeros(
+            (hashes.shape[0], self.num_targets), dtype=jnp.int32
+        )
+        for sub, cols in zip(self.subs, self.sub_cols):
+            c = sub.counts(hashes, mask, n_hashes)
+            out = out.at[:, cols].set(c)
+        return out
+
+
+def load_device_filter(path: str):
+    """Open an .ibf or .hibf file as a device-resident filter."""
+    from ganon_tpu.index.ibf import IBF
+    from ganon_tpu.index.hibf import HIBF
+
+    if path.endswith(".hibf"):
+        return DeviceHIBF(HIBF.load(path))
+    return DeviceFilter(IBF.load(path))
+
+
 def batch_to_device(batch, w: int, batch_pad: int):
     """Encode a ReadBatch into padded device inputs using length buckets.
 

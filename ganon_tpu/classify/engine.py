@@ -26,7 +26,6 @@ import numpy as np
 from ganon_tpu.classify import device as dev
 from ganon_tpu.classify.lca import LCA, build_lca
 from ganon_tpu.classify.thresholds import BinomTailCache
-from ganon_tpu.index.ibf import IBF
 from ganon_tpu.io.sequence import ReadBatch, read_batches
 
 
@@ -238,8 +237,7 @@ class LevelContext:
         self.specs = level.filters
         taxes = []
         for spec in level.filters:
-            ibf = IBF.load(spec.ibf_file)
-            self.filters.append(dev.DeviceFilter(ibf))
+            self.filters.append(dev.load_device_filter(spec.ibf_file))
             if spec.tax_file:
                 taxes.append(load_tax(spec.tax_file))
         k = self.filters[0].ibf_config.kmer_size

@@ -1,0 +1,174 @@
+"""Hierarchical/size-stratified IBF: variable bin sizes per target class.
+
+The reference delegates HIBF construction to raptor (DP layout + recursive
+merged-bin IBFs, build_update.py:411-518) and queries it by per-read
+recursive descent (hierarchical_interleaved_bloom_filter.hpp:417-532).
+That pointer-chasing design is hostile to TPUs; the equivalent benefit —
+small targets don't pay the bin size of the largest target — is achieved
+here with a *forest* of IBFs: targets are partitioned into size classes by
+minimizer count, each class builds its own optimally-sized IBF (reusing
+the full sizing search), and a query bulk-counts every class in parallel,
+concatenating per-class target counts. Outputs are identical to a single
+IBF holding all targets (same per-target count semantics, class-local fp).
+
+File format (``.hibf``): npz with a JSON header + one bits matrix per
+class.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from ganon_tpu.index.config import IBFConfig
+from ganon_tpu.index.ibf import IBF, build_ibf
+
+MAGIC = "ganon-tpu-hibf-v1"
+
+
+class HIBF:
+    """A forest of size-stratified IBFs acting as one filter."""
+
+    def __init__(self, subs: list[IBF], kmer_size: int, window_size: int,
+                 max_fp: float):
+        self.subs = subs
+        self.ibf_config = IBFConfig(
+            kmer_size=kmer_size,
+            window_size=window_size,
+            max_fp=max_fp,
+            n_bins=sum(s.ibf_config.n_bins for s in subs),
+            hash_functions=subs[0].ibf_config.hash_functions if subs else 0,
+            true_max_fp=max((s.ibf_config.true_max_fp for s in subs), default=0),
+            true_avg_fp=(
+                sum(s.ibf_config.true_avg_fp for s in subs) / len(subs)
+                if subs
+                else 0
+            ),
+        )
+        self.hashes_count = {}
+        for s in subs:
+            self.hashes_count.update(s.hashes_count)
+
+    def targets(self):
+        return list(self.hashes_count.keys())
+
+    def target_fpr(self):
+        out = {}
+        for s in self.subs:
+            out.update(s.target_fpr())
+        return out
+
+    def save(self, path: str):
+        header = {
+            "magic": MAGIC,
+            "kmer_size": self.ibf_config.kmer_size,
+            "window_size": self.ibf_config.window_size,
+            "max_fp": self.ibf_config.max_fp,
+            "subs": [
+                {
+                    "ibf_config": s.ibf_config.to_dict(),
+                    "targets": s.targets(),
+                    "hashes_count": [s.hashes_count[t] for t in s.targets()],
+                    "bin_map": s.bin_map,
+                }
+                for s in self.subs
+            ],
+        }
+        arrays = {
+            "header": np.frombuffer(json.dumps(header).encode(), dtype=np.uint8)
+        }
+        for i, s in enumerate(self.subs):
+            arrays[f"bits{i}"] = s.bits
+        np.savez_compressed(path + ".tmp.npz", **arrays)
+        import os
+
+        os.replace(path + ".tmp.npz", path)
+
+    @classmethod
+    def load(cls, path: str) -> "HIBF":
+        with np.load(path, allow_pickle=False) as z:
+            header = json.loads(bytes(z["header"].tobytes()).decode())
+            if header.get("magic") != MAGIC:
+                raise ValueError(f"not a ganon-tpu HIBF file: {path}")
+            subs = []
+            for i, sh in enumerate(header["subs"]):
+                cfg = IBFConfig.from_dict(sh["ibf_config"])
+                hashes_count = dict(zip(sh["targets"], sh["hashes_count"]))
+                bin_map = [(int(b), t) for b, t in sh["bin_map"]]
+                subs.append(IBF(z[f"bits{i}"], cfg, hashes_count, bin_map))
+        return cls(
+            subs, header["kmer_size"], header["window_size"], header["max_fp"]
+        )
+
+
+def build_hibf(
+    target_hashes: dict[str, np.ndarray],
+    *,
+    kmer_size: int,
+    window_size: int,
+    max_fp: float = 0.001,
+    hash_functions: int = 0,
+    num_classes: int = 4,
+) -> HIBF:
+    """Partition targets into size classes and build one IBF per class.
+
+    Classes are split at geometric boundaries of the per-target minimizer
+    count so bin sizes within a class are within ~4x of each other,
+    bounding the space waste that a single flat IBF would pay.
+    """
+    counts = {t: len(h) for t, h in target_hashes.items()}
+    if not counts:
+        raise ValueError("no targets to build")
+    cmin, cmax = min(counts.values()), max(counts.values())
+    subs = []
+    if cmin == cmax or num_classes <= 1:
+        groups = [list(counts.keys())]
+    else:
+        bounds = np.geomspace(cmin, cmax, num_classes + 1)[1:-1]
+        groups = [[] for _ in range(len(bounds) + 1)]
+        for t, c in counts.items():
+            groups[int(np.searchsorted(bounds, c, side="right"))].append(t)
+        groups = [g for g in groups if g]
+    for group in groups:
+        subs.append(
+            build_ibf(
+                {t: target_hashes[t] for t in group},
+                kmer_size=kmer_size,
+                window_size=window_size,
+                max_fp=max_fp,
+                hash_functions=hash_functions,
+            )
+        )
+    return HIBF(subs, kmer_size, window_size, max_fp)
+
+
+def run_build_hibf(
+    *, target_info_file: str, output_file: str, kmer_size: int,
+    window_size: int, hash_functions: int = 0, max_fp: float = 0.001,
+    min_length: int = 0, quiet: bool = True,
+) -> HIBF:
+    """Count hashes from a target_info file and build/save an HIBF."""
+    from ganon_tpu.index.builder import (
+        BuildStats,
+        count_target_hashes,
+        parse_target_info,
+    )
+
+    stats = BuildStats()
+    input_map = parse_target_info(target_info_file, quiet, stats)
+    if not input_map:
+        raise ValueError("No valid input files")
+    target_hashes = count_target_hashes(
+        input_map, kmer_size=kmer_size, window_size=window_size,
+        min_length=min_length, stats=stats,
+    )
+    target_hashes = {t: h for t, h in target_hashes.items() if len(h)}
+    if not target_hashes:
+        raise ValueError("No valid sequences to build")
+    hibf = build_hibf(
+        target_hashes, kmer_size=kmer_size, window_size=window_size,
+        max_fp=max_fp, hash_functions=hash_functions,
+    )
+    hibf.save(output_file)
+    return hibf
