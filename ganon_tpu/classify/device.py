@@ -156,27 +156,26 @@ def load_device_filter(path: str):
 
 
 def batch_to_device(batch, w: int, batch_pad: int):
-    """Encode a ReadBatch into padded device inputs using length buckets.
+    """Pad an EncodedBatch to bucketed static shapes for the device.
 
     Returns (codes1, len1, codes2|None, len2|None, m1, m2) with the batch
-    dimension padded to ``batch_pad``.
+    dimension padded to ``batch_pad`` and read length padded to the next
+    bucket (limits distinct compiled shapes).
     """
 
-    def pad_batch(arr_codes, arr_len):
-        b = arr_codes.shape[0]
-        if b < batch_pad:
-            arr_codes = np.pad(arr_codes, ((0, batch_pad - b), (0, 0)))
-            arr_len = np.pad(arr_len, (0, batch_pad - b))
-        return arr_codes, arr_len
+    def pad(codes, lengths):
+        b, L = codes.shape
+        Lb = bucket_len(max(L, 1))
+        out = np.zeros((batch_pad, Lb), dtype=np.uint8)
+        out[:b, :L] = codes
+        lens = np.zeros((batch_pad,), dtype=np.int32)
+        lens[:b] = lengths
+        return out, lens, Lb
 
-    L1 = bucket_len(max((len(s) for s in batch.seqs), default=0))
-    codes1, len1 = encode_seqs(batch.seqs, max_len=L1)
-    codes1, len1 = pad_batch(codes1, len1)
+    codes1, len1, L1 = pad(batch.codes1, batch.len1)
     m1 = max(L1 - w + 1, 1)
     if batch.paired:
-        L2 = bucket_len(max((len(s) for s in batch.seqs2), default=0))
-        codes2, len2 = encode_seqs(batch.seqs2, max_len=L2)
-        codes2, len2 = pad_batch(codes2, len2)
+        codes2, len2, L2 = pad(batch.codes2, batch.len2)
         m2 = max(L2 - w + 1, 1)
     else:
         codes2 = len2 = None

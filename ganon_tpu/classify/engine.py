@@ -26,7 +26,11 @@ import numpy as np
 from ganon_tpu.classify import device as dev
 from ganon_tpu.classify.lca import LCA, build_lca
 from ganon_tpu.classify.thresholds import BinomTailCache
-from ganon_tpu.io.sequence import ReadBatch, read_batches
+from ganon_tpu.io.pipeline import (
+    EncodedBatch,
+    ThreadedBatchSource,
+    encoded_batches,
+)
 
 
 # --------------------------------------------------------------------------
@@ -350,11 +354,19 @@ def run_classify(cfg: ClassifyConfig) -> dict:
 
         def batches():
             if first:
-                for prefix, files in reads_config.items():
-                    for f1, f2 in files:
-                        for b in read_batches(f1, f2, prefix, cfg.n_reads):
-                            totals[prefix].input_seqs += len(b)
-                            yield b
+
+                def produce():
+                    for prefix, files in reads_config.items():
+                        for f1, f2 in files:
+                            yield from encoded_batches(
+                                f1, f2, prefix, cfg.n_reads
+                            )
+
+                # reader/encoder runs on a background thread (SafeQueue
+                # analogue) overlapping with device compute
+                for b in ThreadedBatchSource(produce()):
+                    totals[b.prefix].input_seqs += len(b)
+                    yield b
             else:
                 yield from leftovers
 
@@ -401,7 +413,7 @@ def run_classify(cfg: ClassifyConfig) -> dict:
 
 
 def _classify_batch(
-    batch: ReadBatch,
+    batch: EncodedBatch,
     ctx: LevelContext,
     cfg: ClassifyConfig,
     rep: dict,
@@ -411,7 +423,7 @@ def _classify_batch(
     out: _Out,
     one_files: dict,
     all_files: dict,
-) -> ReadBatch | None:
+) -> EncodedBatch | None:
     """Classify one batch at one level; returns leftover (unclassified)."""
     B0 = len(batch)
     w = ctx.window_size
@@ -434,8 +446,12 @@ def _classify_batch(
         np.asarray(f.counts(hashes, mask, n_hashes_d))[:B0] for f in ctx.filters
     ]
     nh = np.asarray(n_hashes_d)[:B0].astype(np.int64)
-    l1 = len1[:B0].astype(np.int64)
-    l2 = len2[:B0].astype(np.int64) if len2 is not None else np.zeros(B0, np.int64)
+    l1 = batch.len1.astype(np.int64)
+    l2 = (
+        batch.len2.astype(np.int64)
+        if batch.paired
+        else np.zeros(B0, np.int64)
+    )
 
     small = l1 < w
     big = (~small) & (nh > cfg.hashes_limit)
@@ -524,7 +540,7 @@ def _classify_batch(
         out.get(one_files[prefix]) if (cfg.output_lca and not cfg.skip_lca) else None
     )
 
-    leftover = ReadBatch(prefix=prefix, paired=batch.paired)
+    leftover_idx: list[int] = []
     for i in range(B0):
         if classified[i]:
             idxs = np.nonzero(final[i])[0]
@@ -550,15 +566,14 @@ def _classify_batch(
                     _rep(cfg.tax_root_node).seqs_lca += 1
         else:
             if not last:
-                leftover.ids.append(batch.ids[i])
-                leftover.seqs.append(batch.seqs[i])
-                if batch.paired:
-                    leftover.seqs2.append(batch.seqs2[i])
+                leftover_idx.append(i)
             elif cfg.output_unclassified:
                 out.get(cfg.output_prefix + prefix + ".unc").write(
                     batch.ids[i] + "\n"
                 )
-    return leftover if not last else None
+    if last:
+        return None
+    return batch.select(np.asarray(leftover_idx, dtype=np.int64))
 
 
 def _colsum(mask: np.ndarray):

@@ -1,0 +1,156 @@
+"""Async host pipeline: reader thread feeding encoded read batches.
+
+The analogue of the reference's producer thread + bounded SafeQueue
+(GanonClassify.cpp:1220-1287, SafeQueue.hpp): the native C++ parser (or
+the Python fallback) encodes reads into fixed-shape dna4 arrays on a
+background thread while the device computes the previous batch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ganon_tpu.io.sequence import SequenceReader
+from ganon_tpu.ops.minimizers import encode_seqs
+
+# hard cap on read length per encoded row (longer reads are truncated; the
+# reference skips reads whose minimizer count exceeds the counter width
+# anyway — see ClassifyConfig.hashes_limit)
+MAX_READ_LEN = 1 << 14
+
+
+@dataclass
+class EncodedBatch:
+    """One device-ready batch: ids + dna4 codes (+ mate2 when paired)."""
+
+    prefix: str = ""
+    paired: bool = False
+    ids: list = field(default_factory=list)
+    codes1: np.ndarray | None = None
+    len1: np.ndarray | None = None
+    codes2: np.ndarray | None = None
+    len2: np.ndarray | None = None
+
+    def __len__(self):
+        return len(self.ids)
+
+    def select(self, idx: np.ndarray) -> "EncodedBatch":
+        """Subset batch by row indices (leftover requeue between levels)."""
+        return EncodedBatch(
+            prefix=self.prefix,
+            paired=self.paired,
+            ids=[self.ids[i] for i in idx],
+            codes1=self.codes1[idx],
+            len1=self.len1[idx],
+            codes2=self.codes2[idx] if self.paired else None,
+            len2=self.len2[idx] if self.paired else None,
+        )
+
+
+def _trim(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Cut the length axis down to the longest read in the batch."""
+    if len(lengths) == 0:
+        return codes
+    m = int(lengths.max())
+    m = max(m, 1)
+    return codes[:, : min(m, codes.shape[1])]
+
+
+def _native_batches(file1, file2, prefix, n_reads):
+    from ganon_tpu.native import NativeSeqReader
+
+    r1 = NativeSeqReader(file1)
+    r2 = NativeSeqReader(file2) if file2 else None
+    paired = r2 is not None
+    while True:
+        ids, codes1, len1 = r1.next_batch(n_reads, MAX_READ_LEN)
+        if not ids:
+            return
+        b = EncodedBatch(prefix=prefix, paired=paired, ids=ids)
+        b.codes1, b.len1 = _trim(codes1, len1), np.minimum(len1, MAX_READ_LEN)
+        if paired:
+            _, codes2, len2 = r2.next_batch(len(ids), MAX_READ_LEN)
+            if codes2.shape[0] < len(ids):  # mate file shorter
+                pad = len(ids) - codes2.shape[0]
+                codes2 = np.pad(codes2, ((0, pad), (0, 0)))
+                len2 = np.pad(len2, (0, pad))
+            b.codes2 = _trim(codes2, len2)
+            b.len2 = np.minimum(len2, MAX_READ_LEN)
+        yield b
+
+
+def _python_batches(file1, file2, prefix, n_reads):
+    r1 = iter(SequenceReader(file1))
+    r2 = iter(SequenceReader(file2)) if file2 else None
+    paired = r2 is not None
+    while True:
+        ids, seqs, seqs2 = [], [], []
+        for _ in range(n_reads):
+            try:
+                rid, seq = next(r1)
+            except StopIteration:
+                break
+            ids.append(rid)
+            seqs.append(seq[:MAX_READ_LEN])
+            if paired:
+                try:
+                    _, seq2 = next(r2)
+                except StopIteration:
+                    seq2 = ""
+                seqs2.append(seq2[:MAX_READ_LEN])
+        if not ids:
+            return
+        b = EncodedBatch(prefix=prefix, paired=paired, ids=ids)
+        b.codes1, b.len1 = encode_seqs(seqs)
+        if paired:
+            b.codes2, b.len2 = encode_seqs(seqs2)
+        yield b
+
+
+def encoded_batches(file1, file2, prefix, n_reads, use_native=True):
+    """Yield EncodedBatch from a read file (pair); native parser if built."""
+    if use_native:
+        try:
+            from ganon_tpu.native import NativeSeqReader
+
+            if NativeSeqReader.available():
+                yield from _native_batches(file1, file2, prefix, n_reads)
+                return
+        except Exception:
+            pass
+    yield from _python_batches(file1, file2, prefix, n_reads)
+
+
+class ThreadedBatchSource:
+    """Run a batch generator on a background thread (bounded queue)."""
+
+    _DONE = object()
+
+    def __init__(self, generator, max_queued: int = 8):
+        self._q: queue.Queue = queue.Queue(maxsize=max_queued)
+        self._err = None
+
+        def work():
+            try:
+                for item in generator:
+                    self._q.put(item)
+            except BaseException as e:  # surfaced on the consumer side
+                self._err = e
+            finally:
+                self._q.put(self._DONE)
+
+        self._t = threading.Thread(target=work, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item

@@ -1,0 +1,109 @@
+"""Native (C++) host runtime: sequence parsing + dna4 encoding.
+
+Compiled lazily with g++ into a cached shared library and loaded via
+ctypes; callers fall back to the pure-Python reader when no compiler is
+available (``NativeSeqReader.available()``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "seqio.cpp")
+_lib = None
+_tried = False
+
+
+def _build_lib() -> str | None:
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha1(f.read()).hexdigest()[:12]
+    so = os.path.join(_DIR, f"_seqio_{tag}.so")
+    if os.path.exists(so):
+        return so
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-lz", "-o",
+        so + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(so + ".tmp", so)
+        return so
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        print(f"ganon-tpu: native seqio build failed: {e}", file=sys.stderr)
+        return None
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    so = _build_lib()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.seqio_open.restype = ctypes.c_void_p
+    lib.seqio_open.argtypes = [ctypes.c_char_p]
+    lib.seqio_close.argtypes = [ctypes.c_void_p]
+    lib.seqio_next_batch.restype = ctypes.c_int64
+    lib.seqio_next_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_char_p, ctypes.c_int64,
+    ]
+    _lib = lib
+    return lib
+
+
+class NativeSeqReader:
+    """Batched fasta/fastq reader that encodes directly into numpy arrays."""
+
+    @staticmethod
+    def available() -> bool:
+        return _load() is not None
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native seqio unavailable")
+        self._lib = lib
+        self._h = lib.seqio_open(path.encode())
+        if not self._h:
+            raise IOError(f"cannot open sequence file: {path}")
+
+    def next_batch(self, max_reads: int, max_len: int):
+        """Returns (ids list[str], codes uint8 [n, max_len], lengths [n])."""
+        codes = np.zeros((max_reads, max_len), dtype=np.uint8)
+        lengths = np.zeros((max_reads,), dtype=np.int32)
+        ids_cap = max_reads * 256
+        ids_buf = ctypes.create_string_buffer(ids_cap)
+        n = self._lib.seqio_next_batch(
+            self._h, max_reads, max_len,
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ids_buf, ids_cap,
+        )
+        if n < 0:
+            raise IOError("native seqio read error")
+        if n == 0:
+            return [], codes[:0], lengths[:0]
+        ids = ids_buf.value.decode(errors="replace").split("\n")[:n]
+        return ids, codes[:n], lengths[:n]
+
+    def close(self):
+        if self._h:
+            self._lib.seqio_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
