@@ -118,6 +118,64 @@ class DeviceFilter:
         )
 
 
+@partial(jax.jit, static_argnames=("top_k",))
+def threshold_topk(
+    counts, n_hashes, rel_cutoff, rel_filter, hashes_limit, *, top_k: int
+):
+    """Device-side rel-cutoff + rel-filter + top-K match compaction.
+
+    Applies the reference threshold semantics (GanonClassify.cpp:719-758)
+    on device and returns only compact results, so a batch's device->host
+    traffic drops from B x T counts to B x K matches plus per-target
+    tallies — essential here because host transfers are the bottleneck,
+    and the right production design regardless.
+
+    Returns dict with:
+      top_vals/top_idx  int32 [B, K] final matches (desc count, 0-padded)
+      n_matches         int32 [B]
+      max_count         int32 [B]
+      n_hashes          int32 [B]
+      matches_t/disc_t/unique_t  int32 [T] per-target tallies
+    """
+    nh = n_hashes.astype(jnp.float64)
+    cutoff = jnp.maximum(jnp.ceil(nh * rel_cutoff), 1.0)
+    valid = (n_hashes > 0) & (n_hashes <= hashes_limit)
+    kept = (counts >= cutoff[:, None].astype(jnp.int32)) & valid[:, None]
+    kcounts = jnp.where(kept, counts, 0)
+    max_count = kcounts.max(axis=1)
+    big = jnp.iinfo(jnp.int32).max
+    min_count = jnp.minimum(
+        n_hashes, jnp.where(kept, counts, big).min(axis=1)
+    )
+    thr = max_count.astype(jnp.float64) - jnp.ceil(
+        (max_count - min_count).astype(jnp.float64) * rel_filter
+    )
+    final = kept & (counts.astype(jnp.float64) >= thr[:, None])
+    n_matches = final.sum(axis=1).astype(jnp.int32)
+    fvals = jnp.where(final, counts, 0)
+    k = min(top_k, counts.shape[1])
+    top_vals, top_idx = jax.lax.top_k(fvals, k)
+    classified = n_matches > 0
+    return {
+        "top_vals": top_vals.astype(jnp.int32),
+        "top_idx": top_idx.astype(jnp.int32),
+        "n_matches": n_matches,
+        "max_count": max_count.astype(jnp.int32),
+        "matches_t": final.sum(axis=0).astype(jnp.int32),
+        "disc_t": (kept & ~final).sum(axis=0).astype(jnp.int32),
+        "unique_t": (final & (n_matches == 1)[:, None]).sum(axis=0).astype(
+            jnp.int32
+        ),
+        "seqs_classified": classified.sum().astype(jnp.int64),
+        "kmers_from_classified": jnp.where(classified, n_hashes, 0)
+        .sum()
+        .astype(jnp.int64),
+        "kmers_matches": jnp.where(classified, max_count, 0)
+        .sum()
+        .astype(jnp.int64),
+    }
+
+
 class DeviceHIBF:
     """A size-stratified IBF forest on device (same interface as
     DeviceFilter): per-class counts are concatenated in global target

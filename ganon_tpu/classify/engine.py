@@ -67,6 +67,8 @@ class ClassifyConfig:
     tax_root_node: str = "1"
     n_reads: int = 1024  # device batch size
     hashes_limit: int = 65535  # uint16 counter limit; raise for long reads
+    device_thresholding: bool = True  # on-device cutoff/filter + top-K
+    top_k_matches: int = 128  # compact output width (falls back if exceeded)
     quiet: bool = True
     verbose: bool = False
 
@@ -442,9 +444,7 @@ def _classify_batch(
         m1=m1,
         m2=m2,
     )
-    counts_list = [
-        np.asarray(f.counts(hashes, mask, n_hashes_d))[:B0] for f in ctx.filters
-    ]
+    counts_dev = [f.counts(hashes, mask, n_hashes_d) for f in ctx.filters]
     nh = np.asarray(n_hashes_d)[:B0].astype(np.int64)
     l1 = batch.len1.astype(np.int64)
     l2 = (
@@ -452,6 +452,26 @@ def _classify_batch(
         if batch.paired
         else np.zeros(B0, np.int64)
     )
+
+    # single-filter fast path: thresholds + top-K compaction on device
+    if len(ctx.filters) == 1 and cfg.device_thresholding:
+        res = dev.threshold_topk(
+            counts_dev[0],
+            n_hashes_d,
+            ctx.specs[0].rel_cutoff,
+            ctx.level.rel_filter,
+            cfg.hashes_limit,
+            top_k=cfg.top_k_matches,
+        )
+        res = {k: np.asarray(v) for k, v in res.items()}
+        if not (res["n_matches"][:B0] > res["top_vals"].shape[1]).any():
+            return _finish_batch_compact(
+                batch, ctx, cfg, rep, level_totals, first, last, out,
+                one_files, all_files, res, nh, l1, l2,
+            )
+        # top-K overflow: fall through to the full-matrix path
+
+    counts_list = [np.asarray(c)[:B0] for c in counts_dev]
 
     small = l1 < w
     big = (~small) & (nh > cfg.hashes_limit)
@@ -562,6 +582,129 @@ def _classify_batch(
                     _rep(t).seqs_lca += 1
                     if write_one is not None:
                         write_one.write(f"{batch.ids[i]}\t{t}\t{max_count[i]}\n")
+                else:
+                    _rep(cfg.tax_root_node).seqs_lca += 1
+        else:
+            if not last:
+                leftover_idx.append(i)
+            elif cfg.output_unclassified:
+                out.get(cfg.output_prefix + prefix + ".unc").write(
+                    batch.ids[i] + "\n"
+                )
+    if last:
+        return None
+    return batch.select(np.asarray(leftover_idx, dtype=np.int64))
+
+
+def _finish_batch_compact(
+    batch, ctx, cfg, rep, level_totals, first, last, out, one_files,
+    all_files, res, nh, l1, l2,
+):
+    """Host finish for the device-thresholded compact path."""
+    B0 = len(batch)
+    w = ctx.window_size
+    prefix = batch.prefix
+    tot = level_totals[prefix]
+
+    small = l1 < w
+    big = (~small) & (nh > cfg.hashes_limit)
+    ok = (~small) & (~big)
+    if first:
+        tot.seqs_skipped_small += int(small.sum())
+        tot.seqs_skipped_big += int(big.sum())
+        tot.seqs_processed += int(ok.sum())
+        tot.length_processed += int((l1 + l2)[ok].sum())
+        tot.kmers_processed += int(nh[ok].sum())
+
+    top_vals = res["top_vals"][:B0].copy()
+    top_idx = res["top_idx"][:B0].copy()
+    n_matches = res["n_matches"][:B0].astype(np.int64).copy()
+    max_count = res["max_count"][:B0].astype(np.int64)
+
+    def _rep(target: str) -> Rep:
+        key = (prefix, target)
+        r = rep.get(key)
+        if r is None:
+            r = Rep()
+            rep[key] = r
+        return r
+
+    # rel-filter discards (device tally; unaffected by fpr-query)
+    for j in np.nonzero(res["disc_t"])[0]:
+        _rep(ctx.union_targets[j]).disc_filter += int(res["disc_t"][j])
+    tot.discarded_matches_filter += int(res["disc_t"].sum())
+
+    if ctx.level.fpr_query < 1.0:
+        cache = BinomTailCache()
+        fprs = ctx.filter_fprs[0]
+        for i in np.nonzero(n_matches)[0]:
+            keep = []
+            for j in range(int(n_matches[i])):
+                t = int(top_idx[i, j])
+                q = cache.q(int(top_vals[i, j]), int(nh[i]), float(fprs[t]))
+                if q > ctx.level.fpr_query:
+                    _rep(ctx.union_targets[t]).disc_fpr += 1
+                    tot.discarded_matches_fprquery += 1
+                else:
+                    keep.append(j)
+            if len(keep) != n_matches[i]:
+                kn = len(keep)
+                top_idx[i, :kn] = top_idx[i, keep]
+                top_vals[i, :kn] = top_vals[i, keep]
+                n_matches[i] = kn
+        classified = n_matches > 0
+        tot.seqs_classified += int(classified.sum())
+        tot.kmers_from_classified_seqs += int(nh[classified].sum())
+        tot.kmers_matches += int(max_count[classified].sum())
+        tot.matches += int(n_matches.sum())
+        tot.seqs_unique += int((n_matches == 1).sum())
+        for i in np.nonzero(classified)[0]:
+            for j in range(int(n_matches[i])):
+                _rep(ctx.union_targets[int(top_idx[i, j])]).matches += 1
+    else:
+        classified = n_matches > 0
+        tot.seqs_classified += int(res["seqs_classified"])
+        tot.kmers_from_classified_seqs += int(res["kmers_from_classified"])
+        tot.kmers_matches += int(res["kmers_matches"])
+        tot.matches += int(n_matches.sum())
+        tot.seqs_unique += int((n_matches == 1).sum())
+        for j in np.nonzero(res["matches_t"])[0]:
+            _rep(ctx.union_targets[j]).matches += int(res["matches_t"][j])
+
+    write_all = out.get(all_files[prefix]) if cfg.output_all else None
+    write_one = (
+        out.get(one_files[prefix]) if (cfg.output_lca and not cfg.skip_lca) else None
+    )
+
+    leftover_idx: list[int] = []
+    for i in range(B0):
+        nm = int(n_matches[i])
+        if nm > 0:
+            if write_all is not None:
+                rid = batch.ids[i]
+                for j in range(nm):
+                    write_all.write(
+                        f"{rid}\t{ctx.union_targets[int(top_idx[i, j])]}\t"
+                        f"{int(top_vals[i, j])}\n"
+                    )
+            if nm == 1:
+                t = ctx.union_targets[int(top_idx[i, 0])]
+                _rep(t).seqs_unique += 1
+                if write_one is not None:
+                    write_one.write(
+                        f"{batch.ids[i]}\t{t}\t{int(top_vals[i, 0])}\n"
+                    )
+            else:
+                if not cfg.skip_lca:
+                    names = [
+                        ctx.union_targets[int(top_idx[i, j])] for j in range(nm)
+                    ]
+                    t = ctx.lca.lca(names)
+                    _rep(t).seqs_lca += 1
+                    if write_one is not None:
+                        write_one.write(
+                            f"{batch.ids[i]}\t{t}\t{int(max_count[i])}\n"
+                        )
                 else:
                     _rep(cfg.tax_root_node).seqs_lca += 1
         else:

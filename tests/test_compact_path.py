@@ -1,0 +1,98 @@
+"""Device-thresholded compact path must match the full-matrix path."""
+
+import filecmp
+import os
+import random
+
+import pytest
+
+from ganon_tpu.classify.engine import ClassifyConfig, run_classify
+from tests.test_classify import build_db, write_fastq, write_tax, read_tsv
+
+
+@pytest.mark.parametrize("fpr_query", [1.0, 1e-3])
+@pytest.mark.parametrize("rel_filter", [0.0, 0.5])
+def test_compact_equals_full(tmp_path, rel_filter, fpr_query):
+    rng = random.Random(11)
+    refs = {
+        f"T{i}": "".join(rng.choice("ACGT") for _ in range(300))
+        for i in range(8)
+    }
+    db = build_db(tmp_path, refs, k=10, w=12, max_fp=0.01)
+    tax_rows = [("1", "0", "no rank", "root")] + [
+        (t, "1", "species", t) for t in refs
+    ]
+    tax = write_tax(tmp_path / "db.tax", tax_rows)
+
+    reads = {}
+    for i in range(60):
+        t = f"T{i % 8}"
+        s = rng.randint(0, 250)
+        reads[f"q{i}"] = refs[t][s : s + rng.randint(20, 50)]
+    for i in range(10):
+        reads[f"junk{i}"] = "".join(rng.choice("ACGT") for _ in range(40))
+    fq = tmp_path / "reads.fq"
+    write_fastq(fq, reads)
+
+    outputs = {}
+    for mode in (True, False):
+        out = str(tmp_path / f"m{mode}")
+        cfg = ClassifyConfig(
+            ibf=[db],
+            tax=[tax],
+            single_reads=[str(fq)],
+            output_prefix=out,
+            rel_cutoff=[0.3],
+            rel_filter=[rel_filter],
+            fpr_query=[fpr_query],
+            output_lca=True,
+            output_all=True,
+            output_unclassified=True,
+            output_stats=True,
+            device_thresholding=mode,
+        )
+        stats = run_classify(cfg)
+        outputs[mode] = (out, stats)
+
+    for ext in (".one", ".unc", ".rep", ".sta"):
+        a = sorted(map(tuple, read_tsv(outputs[True][0] + ext)))
+        b = sorted(map(tuple, read_tsv(outputs[False][0] + ext)))
+        assert a == b, ext
+    # .all compared as sets (match order differs between paths)
+    a = sorted(map(tuple, read_tsv(outputs[True][0] + ".all")))
+    b = sorted(map(tuple, read_tsv(outputs[False][0] + ".all")))
+    assert a == b
+
+    ta = outputs[True][1]["totals"][""]
+    tb = outputs[False][1]["totals"][""]
+    for f in (
+        "seqs_processed", "seqs_classified", "matches", "seqs_unique",
+        "discarded_matches_filter", "discarded_matches_fprquery",
+        "kmers_matches", "kmers_from_classified_seqs",
+    ):
+        assert getattr(ta, f) == getattr(tb, f), f
+
+
+def test_topk_overflow_fallback(tmp_path):
+    # many targets share the same sequence -> every read matches all of
+    # them, exceeding top_k -> engine must fall back and still be correct
+    rng = random.Random(3)
+    seq = "".join(rng.choice("ACGT") for _ in range(100))
+    refs = {f"S{i}": seq for i in range(12)}
+    db = build_db(tmp_path, refs, k=10, w=12, max_fp=0.001)
+    reads = {"r0": seq[10:60]}
+    fq = tmp_path / "r.fq"
+    write_fastq(fq, reads)
+    out = str(tmp_path / "ov")
+    cfg = ClassifyConfig(
+        ibf=[db],
+        single_reads=[str(fq)],
+        output_prefix=out,
+        rel_cutoff=[0.3],
+        output_all=True,
+        device_thresholding=True,
+        top_k_matches=4,  # force overflow
+    )
+    run_classify(cfg)
+    allm = read_tsv(out + ".all")
+    assert len(allm) == 12  # all 12 identical targets reported
