@@ -153,32 +153,10 @@ def minimizers_jax(codes, lengths, *, k: int, w: int, max_minimizers: int):
             jnp.zeros((B,), dtype=jnp.int32),
         )
     c = codes.astype(jnp.uint64)
-    nk = L - k + 1  # k-mer positions
-    seed = jnp.uint64(adjust_seed(k))
-
-    fwd = jnp.zeros((B, nk), dtype=jnp.uint64)
-    rc = jnp.zeros((B, nk), dtype=jnp.uint64)
-    for j in range(k):
-        col = c[:, j : j + nk]
-        fwd = (fwd << jnp.uint64(2)) | col
-        rc = rc | ((jnp.uint64(3) - col) << jnp.uint64(2 * j))
-    canon = jnp.minimum(fwd ^ seed, rc ^ seed)
-
-    # invalidate k-mer positions beyond the true length
-    kpos = jnp.arange(nk, dtype=jnp.int32)[None, :]
-    valid_k = kpos + k <= lengths[:, None]
-    canon = jnp.where(valid_k, canon, jnp.uint64(_U64_MAX))
-
-    # sliding leftmost-argmin over w - k + 1 values
+    canon = _canonical_values(c, lengths, k, L)
     ww = w - k + 1
     nw = L - w + 1  # window positions
-    minval = canon[:, :nw]
-    minpos = jnp.broadcast_to(jnp.arange(nw, dtype=jnp.int32), (B, nw))
-    for j in range(1, ww):
-        cand = canon[:, j : j + nw]
-        take = cand < minval
-        minval = jnp.where(take, cand, minval)
-        minpos = jnp.where(take, jnp.arange(nw, dtype=jnp.int32) + j, minpos)
+    minval, minpos = _window_argmin(canon, ww, nw)
 
     wpos = jnp.arange(nw, dtype=jnp.int32)[None, :]
     valid_w = wpos + w <= lengths[:, None]
@@ -199,6 +177,71 @@ def minimizers_jax(codes, lengths, *, k: int, w: int, max_minimizers: int):
     return hashes, n_hashes
 
 
+def _canonical_values(c, lengths, k: int, L: int):
+    """Canonical (min of fwd/rc, seed-XORed) k-mer values via doubling.
+
+    Builds packed k-mer values in O(log k) vector ops instead of k:
+    ``v_{a+b}[i] = (v_a[i] << 2b) | v_b[i+a]`` (forward) and
+    ``r_{a+b}[i] = r_a[i] | (r_b[i+a] << 2a)`` (reverse complement).
+    """
+    nk = L - k + 1
+    # power-of-two span tables, each fwd[s][i] over codes[i:i+s)
+    spans = [1]
+    fwd_p = {1: c}
+    rc_p = {1: jnp.uint64(3) - c}
+    s = 1
+    while s * 2 <= k:
+        n = c.shape[1] - 2 * s + 1
+        fwd_p[2 * s] = (fwd_p[s][:, :n] << jnp.uint64(2 * s)) | fwd_p[s][:, s : s + n]
+        rc_p[2 * s] = rc_p[s][:, :n] | (rc_p[s][:, s : s + n] << jnp.uint64(2 * s))
+        s *= 2
+        spans.append(s)
+    # compose k from its binary representation (most-significant first)
+    fwd = rc = None
+    span = 0
+    for p in reversed(spans):
+        if span + p > k:
+            continue
+        fp, rp = fwd_p[p], rc_p[p]
+        if fwd is None:
+            fwd, rc = fp[:, :nk], rp[:, :nk]
+        else:
+            fwd = (fwd << jnp.uint64(2 * p)) | fp[:, span : span + nk]
+            rc = rc | (rp[:, span : span + nk] << jnp.uint64(2 * span))
+        span += p
+    seed = jnp.uint64(adjust_seed(k))
+    canon = jnp.minimum(fwd ^ seed, rc ^ seed)
+    kpos = jnp.arange(nk, dtype=jnp.int32)[None, :]
+    return jnp.where(kpos + k <= lengths[:, None], canon, jnp.uint64(_U64_MAX))
+
+
+def _window_argmin(canon, ww: int, nw: int):
+    """Leftmost argmin over sliding windows of ``ww`` values (doubling).
+
+    Combines power-of-two spans with leftmost tie-break (take the left
+    span on <=), then merges the two overlapping spans covering ``ww``.
+    """
+    B = canon.shape[0]
+    val = canon
+    pos = jnp.broadcast_to(
+        jnp.arange(canon.shape[1], dtype=jnp.int32), canon.shape
+    )
+    s = 1
+    while s * 2 <= ww:
+        n = val.shape[1] - s
+        lv, rv = val[:, :n], val[:, s:]
+        lp, rp = pos[:, :n], pos[:, s:]
+        take_left = lv <= rv
+        val = jnp.where(take_left, lv, rv)
+        pos = jnp.where(take_left, lp, rp)
+        s *= 2
+    # val[i] = min over [i, i+s); merge [0, s) with [ww-s, ww)
+    lv, rv = val[:, :nw], val[:, ww - s : ww - s + nw]
+    lp, rp = pos[:, :nw], pos[:, ww - s : ww - s + nw]
+    take_left = lv <= rv
+    return jnp.where(take_left, lv, rv), jnp.where(take_left, lp, rp)
+
+
 @partial(jax.jit, static_argnames=("k", "w"))
 def minimizers_masked_jax(codes, lengths, *, k: int, w: int):
     """Minimizers as (window-min values, emission mask) — no compaction.
@@ -217,27 +260,10 @@ def minimizers_masked_jax(codes, lengths, *, k: int, w: int):
             jnp.zeros((B,), dtype=jnp.int32),
         )
     c = codes.astype(jnp.uint64)
-    nk = L - k + 1
-    seed = jnp.uint64(adjust_seed(k))
-    fwd = jnp.zeros((B, nk), dtype=jnp.uint64)
-    rc = jnp.zeros((B, nk), dtype=jnp.uint64)
-    for j in range(k):
-        col = c[:, j : j + nk]
-        fwd = (fwd << jnp.uint64(2)) | col
-        rc = rc | ((jnp.uint64(3) - col) << jnp.uint64(2 * j))
-    canon = jnp.minimum(fwd ^ seed, rc ^ seed)
-    kpos = jnp.arange(nk, dtype=jnp.int32)[None, :]
-    canon = jnp.where(kpos + k <= lengths[:, None], canon, jnp.uint64(_U64_MAX))
-
+    canon = _canonical_values(c, lengths, k, L)
     ww = w - k + 1
     nw = L - w + 1
-    minval = canon[:, :nw]
-    minpos = jnp.broadcast_to(jnp.arange(nw, dtype=jnp.int32), (B, nw))
-    for j in range(1, ww):
-        cand = canon[:, j : j + nw]
-        take = cand < minval
-        minval = jnp.where(take, cand, minval)
-        minpos = jnp.where(take, jnp.arange(nw, dtype=jnp.int32) + j, minpos)
+    minval, minpos = _window_argmin(canon, ww, nw)
 
     wpos = jnp.arange(nw, dtype=jnp.int32)[None, :]
     valid_w = wpos + w <= lengths[:, None]
@@ -260,22 +286,16 @@ def window_mins_jax(codes, lengths, *, k: int, w: int):
     """
     B, L = codes.shape
     c = codes.astype(jnp.uint64)
-    nk = L - k + 1
-    seed = jnp.uint64(adjust_seed(k))
-    fwd = jnp.zeros((B, nk), dtype=jnp.uint64)
-    rc = jnp.zeros((B, nk), dtype=jnp.uint64)
-    for j in range(k):
-        col = c[:, j : j + nk]
-        fwd = (fwd << jnp.uint64(2)) | col
-        rc = rc | ((jnp.uint64(3) - col) << jnp.uint64(2 * j))
-    canon = jnp.minimum(fwd ^ seed, rc ^ seed)
-    kpos = jnp.arange(nk, dtype=jnp.int32)[None, :]
-    canon = jnp.where(kpos + k <= lengths[:, None], canon, jnp.uint64(_U64_MAX))
+    canon = _canonical_values(c, lengths, k, L)
     ww = w - k + 1
     nw = L - w + 1
-    minval = canon[:, :nw]
-    for j in range(1, ww):
-        minval = jnp.minimum(minval, canon[:, j : j + nw])
+    # plain sliding min via doubling (no argmin bookkeeping needed)
+    val = canon
+    s = 1
+    while s * 2 <= ww:
+        val = jnp.minimum(val[:, : val.shape[1] - s], val[:, s:])
+        s *= 2
+    minval = jnp.minimum(val[:, :nw], val[:, ww - s : ww - s + nw])
     wpos = jnp.arange(nw, dtype=jnp.int32)[None, :]
     valid = wpos + w <= lengths[:, None]
     return minval, valid
