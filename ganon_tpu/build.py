@@ -471,6 +471,7 @@ def build_custom(cfg, which_call: str = "build_custom") -> bool:
                 min_length=cfg.min_length,
                 quiet=cfg.quiet,
                 verbose=cfg.verbose,
+                filter_format=getattr(cfg, "filter_format", "tpu"),
             )
             run_build(bcfg)
         save_state(which_call + "_run", files_output_folder)

@@ -110,6 +110,11 @@ class Config:
                            choices=cls.choices_filter_type,
                            help="Filter type (hibf or ibf)")
             adv = p.add_argument_group("advanced arguments")
+            adv.add_argument("--filter-format", type=str, default="tpu",
+                             choices=["tpu", "reference"],
+                             help="On-disk .ibf format: tpu (native npz) or "
+                                  "reference (cereal archive cross-loadable "
+                                  "by the reference C++ binaries)")
             adv.add_argument("-p", "--max-fp", type=int_or_float(0, 1),
                              default=None,
                              help="Max false positive of the filter")

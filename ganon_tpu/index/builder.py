@@ -51,6 +51,7 @@ class BuildConfig:
     min_length: int = 0
     quiet: bool = True
     verbose: bool = False
+    filter_format: str = "tpu"  # tpu (npz) | reference (cereal, cross-loadable)
 
     def validate(self):
         if not self.input_file:
@@ -199,7 +200,12 @@ def run_build(cfg: BuildConfig) -> IBF:
         mode=cfg.mode,
     )
     if cfg.output_file:
-        ibf.save(cfg.output_file)
+        if cfg.filter_format == "reference":
+            from ganon_tpu.index import serialize
+
+            serialize.write_ibf(ibf, cfg.output_file)
+        else:
+            ibf.save(cfg.output_file)
     if not cfg.quiet:
         c = ibf.ibf_config
         mb = (len(ibf.bits.tobytes())) / 1048576

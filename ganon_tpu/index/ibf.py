@@ -91,6 +91,13 @@ class IBF:
 
     @classmethod
     def load(cls, path: str) -> "IBF":
+        if not zipfile.is_zipfile(path):
+            # reference-format cereal archive (cross-compatibility)
+            from ganon_tpu.index import serialize
+
+            if serialize.is_cereal_ibf(path):
+                return serialize.read_ibf(path)
+            raise ValueError(f"unrecognized IBF file format: {path}")
         with np.load(path, allow_pickle=False) as z:
             header = json.loads(bytes(z["header"].tobytes()).decode())
             if header.get("magic") != MAGIC:
