@@ -128,19 +128,24 @@ def load_input(cfg, input_files, build_output_folder):
 # taxonomy resolution
 
 
-def load_taxonomy(cfg):
+def load_taxonomy(cfg, build_output_folder=None):
     tax_ver = cfg.taxonomy.split("-")
     if tax_ver[0] == "ncbi":
-        if not cfg.taxonomy_files:
-            raise ValueError(
-                "offline build requires --taxonomy-files (nodes/names.dmp or "
-                "taxdump.tar.gz)"
-            )
-        tax = taxmod.load_ncbi(files=cfg.taxonomy_files)
+        files = cfg.taxonomy_files
+        if not files:
+            # auto-fetch like multitax (reference build_update.py:706-718);
+            # honors the local_dir repository override
+            from ganon_tpu.acquire import fetch_taxdump
+
+            files = [fetch_taxdump(build_output_folder or ".", cfg.quiet)]
+        tax = taxmod.load_ncbi(files=files)
     elif tax_ver[0] == "gtdb":
-        if not cfg.taxonomy_files:
-            raise ValueError("offline build requires --taxonomy-files (gtdb tsv)")
-        tax = taxmod.load_gtdb(files=cfg.taxonomy_files)
+        files = cfg.taxonomy_files
+        if not files:
+            from ganon_tpu.acquire import fetch_gtdb_tax
+
+            files = fetch_gtdb_tax(build_output_folder or ".", cfg.quiet)
+        tax = taxmod.load_gtdb(files=files)
     else:
         raise ValueError(f"unknown taxonomy: {cfg.taxonomy}")
     if cfg.level not in [None, "", "leaves"] + CHOICES_LEVEL:
@@ -382,7 +387,7 @@ def build_custom(cfg, which_call: str = "build_custom") -> bool:
                 raise ValueError("No valid input files found")
 
         if cfg.taxonomy != "skip":
-            tax = load_taxonomy(cfg)
+            tax = load_taxonomy(cfg, build_output_folder)
 
         info = load_input(cfg, input_files, build_output_folder)
         user_bins_col = "target"
@@ -494,14 +499,21 @@ def build_custom(cfg, which_call: str = "build_custom") -> bool:
 
 
 def update(cfg) -> bool:
-    """Rebuild with new/extra input using the pickled build config
-    (build_update.py:143-280 semantics, offline)."""
+    """Update a database built with ``ganon build``/``build-custom``
+    (build_update.py:143-280 semantics).
+
+    When the database folder holds an acquisition ``history.tsv`` (written
+    by ``ganon build``), a fresh snapshot is acquired with the recorded
+    selection (reference: re-running genome_updater with no args,
+    build_update.py:177-188) and the rebuild runs on it; otherwise the
+    update rebuilds from the given ``--input``.
+    """
     files_output_folder = set_output_folder(cfg.db_prefix)
     config_file = os.path.join(files_output_folder, "config.pkl")
     if not check_file(config_file):
         raise ValueError(
             f"no saved build configuration found at {config_file}; "
-            "run build-custom with the same --db-prefix first"
+            "run build/build-custom with the same --db-prefix first"
         )
     saved = load_config(config_file)
     # apply saved build params, overriding input with the update's
@@ -512,9 +524,60 @@ def update(cfg) -> bool:
     ):
         if key in saved and getattr(cfg, key, None) in (None, "", [], 0):
             setattr(cfg, key, saved[key])
+
+    acquired = False
+    if check_file(os.path.join(files_output_folder, "history.tsv")):
+        from ganon_tpu import acquire
+
+        if load_state("update_download", files_output_folder):
+            print_log("Download finished - skipping", cfg.quiet)
+        else:
+            print_log("Downloading updated files", cfg.quiet)
+            acquire.acquire_update(
+                files_output_folder,
+                threads=getattr(cfg, "threads", 1) or 1,
+                quiet=cfg.quiet,
+            )
+            save_state("update_download", files_output_folder)
+        version = acquire.current_version(files_output_folder)
+        cfg.input = [os.path.join(files_output_folder, version, "files")]
+        cfg.input_extension = "fna.gz"
+        cfg.input_recursive = True
+        cfg.input_target = "file"
+        cfg.ncbi_file_info = [
+            os.path.join(files_output_folder, "assembly_summary.txt")
+        ]
+        acquired = True
+
     if cfg.output_db_prefix:
         cfg.db_prefix = cfg.output_db_prefix
-    return build_custom(cfg, which_call="update")
+    ok = build_custom(cfg, which_call="update")
+
+    if ok:
+        clear_states("update", files_output_folder)
+        if acquired and cfg.output_db_prefix:
+            # migrate the acquisition folder (snapshots, history, summary
+            # symlink) to the new prefix, reference build_update.py:245-280
+            new_folder = set_output_folder(cfg.output_db_prefix)
+            os.makedirs(new_folder, exist_ok=True)
+            for entry in os.listdir(files_output_folder):
+                if entry == "config.pkl":
+                    continue
+                dst = os.path.join(new_folder, entry)
+                if os.path.lexists(dst):
+                    continue
+                shutil.move(os.path.join(files_output_folder, entry), dst)
+            # re-point the saved config at the migrated folder
+            new_config = load_config(os.path.join(new_folder, "config.pkl"))
+            version = os.path.basename(os.path.dirname(new_config["input"][0]))
+            new_config["input"] = [os.path.join(new_folder, version, "files")]
+            new_config["ncbi_file_info"] = [
+                os.path.join(new_folder, "assembly_summary.txt")
+            ]
+            with open(os.path.join(new_folder, "config.pkl"), "wb") as f:
+                pickle.dump(new_config, f)
+            shutil.rmtree(files_output_folder, ignore_errors=True)
+    return ok
 
 
 def save_config(cfg, config_file):

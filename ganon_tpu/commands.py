@@ -107,13 +107,82 @@ def classify(cfg) -> bool:
 def build(cfg) -> bool:
     """ganon build: acquire reference genomes, then build-custom.
 
-    The reference shells out to genome_updater.sh (build_update.py:68-93).
-    Network acquisition is not implemented yet — point --input at local
-    genome files or use build-custom with --input-file (the offline path
-    the reference test-suite itself exercises).
+    Mirrors build_update.build (/root/reference/src/ganon/build_update.py:
+    29-155): versioned download snapshot (native acquisition layer instead
+    of the genome_updater.sh subprocess), resume checkpoint, then chains
+    into build-custom on the snapshot's files + assembly_summary.
     """
-    raise NotImplementedError(
-        "ganon-tpu build (NCBI/GTDB download) requires network acquisition, "
-        "not yet implemented; use 'build-custom' with --input/--input-file "
-        "and --taxonomy-files for offline builds"
+    import shutil
+
+    from ganon_tpu import acquire
+    from ganon_tpu.build import build_custom, save_config
+    from ganon_tpu.util import (
+        load_state, save_state, set_output_folder,
     )
+
+    files_output_folder = set_output_folder(cfg.db_prefix)
+    if cfg.restart and os.path.isdir(files_output_folder):
+        shutil.rmtree(files_output_folder)
+    os.makedirs(files_output_folder, exist_ok=True)
+
+    assembly_summary = os.path.join(files_output_folder, "assembly_summary.txt")
+    if load_state("build_download", files_output_folder) and check_file(
+        assembly_summary
+    ):
+        print_log("Download finished - skipping", cfg.quiet)
+    else:
+        print_log(
+            "Downloading files from " + ",".join(cfg.source) + " ["
+            + ",".join(cfg.organism_group if cfg.organism_group else cfg.taxid)
+            + "]",
+            cfg.quiet,
+        )
+        acquire.acquire(
+            files_output_folder,
+            sources=cfg.source,
+            organism_groups=cfg.organism_group,
+            taxids=cfg.taxid,
+            complete_genomes=cfg.complete_genomes,
+            reference_genomes=cfg.reference_genomes,
+            top=cfg.top,
+            gtdb=cfg.taxonomy == "gtdb",
+            threads=getattr(cfg, "threads", 1) or 1,
+            quiet=cfg.quiet,
+        )
+        save_state("build_download", files_output_folder)
+
+    input_folder = os.path.join(
+        files_output_folder, acquire.current_version(files_output_folder),
+        "files",
+    )
+
+    build_custom_params = {
+        "input": [input_folder],
+        "input_extension": "fna.gz",
+        "input_recursive": True,
+        "input_target": "file",
+        "ncbi_file_info": [assembly_summary],
+    }
+    for key in (
+        "db_prefix", "level", "taxonomy", "taxonomy_files",
+        "genome_size_files", "skip_genome_size", "threads", "max_fp",
+        "filter_size", "kmer_size", "window_size", "hash_functions", "mode",
+        "min_length", "verbose", "quiet", "filter_type", "write_info_file",
+        "keep_files",
+    ):
+        if hasattr(cfg, key):
+            build_custom_params[key] = getattr(cfg, key)
+    bc_cfg = Config("build-custom", **build_custom_params)
+    bc_cfg.validate()
+    save_config(bc_cfg, os.path.join(files_output_folder, "config.pkl"))
+
+    ok = build_custom(cfg=bc_cfg, which_call="build")
+    if ok:
+        print_log("", cfg.quiet)
+        print_log(
+            files_output_folder
+            + " contains reference sequences and configuration files. Keep "
+            "it to update the database later.",
+            cfg.quiet,
+        )
+    return ok

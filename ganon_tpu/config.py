@@ -166,6 +166,10 @@ class Config:
                            default=["refseq"])
         build.add_argument("--top", type=unsigned_int(0), default=0)
         build.add_argument("--genome-updater", type=str, default="")
+        build.add_argument("-l", "--level", type=str, default="",
+                           help="Max depth: rank name, 'leaves', 'assembly'")
+        build.add_argument("--download-threads", type=unsigned_int(1),
+                           default=1)
 
         # build-custom
         bc = sub.add_parser("build-custom",

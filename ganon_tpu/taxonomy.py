@@ -221,12 +221,24 @@ def load_tax_files(files, **kwargs):
 
 
 def load_ncbi(files=None, folder=None, **kwargs):
-    """NcbiTx equivalent: nodes.dmp/names.dmp[/merged.dmp] or taxdump.tar.gz."""
+    """NcbiTx equivalent: nodes.dmp/names.dmp[/merged.dmp] or taxdump.tar.gz.
+
+    A new_taxdump archive shipping only lineage files (taxidlineage.dmp +
+    rankedlineage.dmp, which is all genome_updater mirrors) still yields a
+    usable taxonomy: parents come from consecutive lineage pairs, names
+    from rankedlineage; ranks are left undefined.
+    """
     tax = Taxonomy(sources=list(files or [folder]), **kwargs)
 
     def handles():
         if files and len(files) == 1 and files[0].endswith((".tar.gz", ".tgz")):
             tar = tarfile.open(files[0], "r:gz")
+            members = tar.getnames()
+            if "nodes.dmp" not in members and "taxidlineage.dmp" in members:
+                yield "taxidlineage", _tar_text(tar, "taxidlineage.dmp")
+                if "rankedlineage.dmp" in members:
+                    yield "rankedlineage", _tar_text(tar, "rankedlineage.dmp")
+                return
             yield "nodes", _tar_text(tar, "nodes.dmp")
             yield "names", _tar_text(tar, "names.dmp")
             try:
@@ -257,6 +269,16 @@ def load_ncbi(files=None, folder=None, **kwargs):
                         tax._name[fields[0]] = fields[1]
                 elif kind == "merged":
                     tax._merged[fields[0]] = fields[1]
+                elif kind == "taxidlineage":
+                    node, lineage = fields[0], fields[1].split()
+                    chain = lineage + [node]
+                    for parent, child in zip(chain, chain[1:]):
+                        if child != tax.root_node:
+                            tax._parent.setdefault(child, parent)
+                    if lineage and chain[0] != tax.root_node:
+                        tax._parent.setdefault(chain[0], tax.root_node)
+                elif kind == "rankedlineage":
+                    tax._name.setdefault(fields[0], fields[1])
     tax._children = None
     tax._lineages = None
     return tax

@@ -1,0 +1,158 @@
+"""ganon build / update with the acquisition layer (genome_updater
+equivalent), driven against the reference's bundled fake repository tree
+via the same ``local_dir`` contract its integration tests use
+(tests/ganon/integration/test_build.py:39-40, test_update.py).
+"""
+
+import os
+import pickle
+
+import pytest
+
+from ganon_tpu.cli import main
+from ganon_tpu.config import Config
+
+REPO = "/root/reference/tests/ganon/data/build"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REPO), reason="reference fake repository not available"
+)
+
+
+@pytest.fixture(autouse=True)
+def local_repo(monkeypatch):
+    monkeypatch.setenv("local_dir", REPO)
+
+
+def _build(tmp_path, name, **kwargs):
+    params = dict(
+        db_prefix=str(tmp_path / name),
+        organism_group=["archaea", "bacteria", "viral"],
+        source=["genbank"],
+        taxonomy="skip",
+        level="assembly",
+        threads=1,
+        filter_type="ibf",
+        write_info_file=True,
+        keep_files=True,
+        quiet=True,
+    )
+    params.update(kwargs)
+    cfg = Config("build", **params)
+    assert main(cfg=cfg)
+    return params["db_prefix"]
+
+
+def _load_cfg(db_prefix):
+    with open(db_prefix + "_files/config.pkl", "rb") as f:
+        return pickle.load(f)
+
+
+def test_build_organism_groups(tmp_path):
+    """3 assemblies across archaea+bacteria+viral genbank groups."""
+    dbp = _build(tmp_path, "og_all")
+    assert os.path.isfile(dbp + ".ibf")
+    saved = _load_cfg(dbp)
+    with open(dbp + ".info.tsv") as f:
+        rows = [r for r in f if r.strip()]
+    assert len(rows) == 3
+    assert saved["input_target"] == "file"
+    # top-level summary is a symlink into the current snapshot
+    link = dbp + "_files/assembly_summary.txt"
+    assert os.path.islink(link)
+    version_dir = os.path.dirname(os.readlink(link))
+    files = os.listdir(os.path.join(dbp + "_files", version_dir, "files"))
+    assert len([f for f in files if f.endswith("_genomic.fna.gz")]) == 3
+
+
+def test_build_taxid_lineage_filter(tmp_path):
+    """--taxid 131567 (cellular organisms) keeps only bac + arc."""
+    dbp = _build(tmp_path, "taxid", organism_group=[], taxid=["131567"])
+    with open(dbp + ".info.tsv") as f:
+        rows = [r for r in f if r.strip()]
+    assert len(rows) == 2
+
+
+def test_build_ncbi_taxonomy_autofetch(tmp_path):
+    """taxonomy=ncbi with no --taxonomy-files auto-fetches the taxdump
+    from the (local) repository and writes .tax."""
+    dbp = _build(tmp_path, "ncbi_tax", taxonomy="ncbi", level="")
+    assert os.path.isfile(dbp + ".tax")
+    with open(dbp + ".tax") as f:
+        taxa = {line.split("\t")[0] for line in f}
+    # the 3 fixture assemblies' taxids + lineage parents resolve through
+    # the trimmed (lineage-only) taxdump
+    assert "1" in taxa and len(taxa) > 3
+
+
+def test_build_resume_download(tmp_path):
+    """An interrupted build (download-state present) skips the download on
+    rerun instead of creating a new snapshot (build_update.py:41-54)."""
+    from ganon_tpu.util import save_state
+
+    dbp = _build(tmp_path, "resume")
+    files_folder = dbp + "_files/"
+    # states are cleared on success; restore the download checkpoint to
+    # simulate a run that died after downloading
+    save_state("build_download", files_folder)
+    versions_before = [
+        d for d in os.listdir(files_folder)
+        if os.path.isdir(os.path.join(files_folder, d)) and d != "build"
+    ]
+    cfg = Config(
+        "build",
+        db_prefix=dbp,
+        organism_group=["archaea", "bacteria", "viral"],
+        source=["genbank"],
+        taxonomy="skip",
+        level="assembly",
+        filter_type="ibf",
+        keep_files=True,
+        quiet=True,
+    )
+    assert main(cfg=cfg)
+    versions_after = [
+        d for d in os.listdir(files_folder)
+        if os.path.isdir(os.path.join(files_folder, d)) and d != "build"
+    ]
+    assert versions_before == versions_after
+
+
+@pytest.mark.parametrize("output_db_prefix", [False, True])
+def test_update_adds_group(tmp_path, output_db_prefix):
+    """Build arc+bac, edit history.tsv to add viral, update -> 3 targets
+    (the reference's own update test trick, test_update.py:67-72)."""
+    import time
+
+    dbp = _build(tmp_path, "upd", organism_group=["archaea", "bacteria"])
+    with open(dbp + ".info.tsv") as f:
+        assert len([r for r in f if r.strip()]) == 2
+
+    hist = dbp + "_files/history.tsv"
+    with open(hist) as f:
+        content = f.read()
+    assert "archaea,bacteria" in content
+    with open(hist, "w") as f:
+        f.write(content.replace("archaea,bacteria", "archaea,bacteria,viral"))
+    time.sleep(1.1)  # snapshot names are second-resolution timestamps
+
+    update_params = dict(
+        db_prefix=dbp,
+        threads=1,
+        write_info_file=True,
+        keep_files=True,
+        quiet=True,
+    )
+    if output_db_prefix:
+        update_params["output_db_prefix"] = str(tmp_path / "upd2")
+    cfg = Config("update", **update_params)
+    assert main(cfg=cfg)
+
+    out_prefix = update_params.get("output_db_prefix", dbp)
+    assert os.path.isfile(out_prefix + ".ibf")
+    with open(out_prefix + ".info.tsv") as f:
+        assert len([r for r in f if r.strip()]) == 3
+    saved = _load_cfg(out_prefix)
+    # saved config points at the migrated folder so further updates work
+    assert saved["input"][0].startswith(out_prefix + "_files")
+    assert os.path.isfile(out_prefix + "_files/history.tsv")
