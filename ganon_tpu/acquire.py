@@ -345,6 +345,31 @@ def fetch_taxdump(workdir: str, quiet: bool = True) -> str:
                   os.path.join(workdir, "new_taxdump.tar.gz"), quiet)
 
 
+def fetch_genome_size_files(taxonomy: str, workdir: str,
+                            quiet: bool = True) -> list[str]:
+    """Download the genome-size auxiliary files (reference
+    tax_util.parse_genome_size_files:77-105): NCBI species_genome_size or
+    GTDB metadata."""
+    if taxonomy.startswith("ncbi"):
+        base = _base("ncbi")
+        return [_fetch(
+            f"{base}/genomes/ASSEMBLY_REPORTS/species_genome_size.txt.gz",
+            os.path.join(workdir, "species_genome_size.txt.gz"), quiet)]
+    if taxonomy.startswith("gtdb"):
+        base = _base("gtdb")
+        out = []
+        for name in ("ar53_metadata.tsv.gz", "bac120_metadata.tsv.gz"):
+            try:
+                out.append(_fetch(f"{base}/releases/latest/{name}",
+                                  os.path.join(workdir, name), quiet))
+            except FileNotFoundError:
+                pass
+        if not out:
+            raise FileNotFoundError("no GTDB metadata files found")
+        return out
+    raise ValueError(f"no genome size source for taxonomy {taxonomy}")
+
+
 def fetch_gtdb_tax(workdir: str, quiet: bool = True) -> list[str]:
     """Download the GTDB taxonomy files for the current release."""
     base = _base("gtdb")

@@ -173,18 +173,65 @@ def get_file_info(cfg, info, tax):
         print_log(f" - {cnt} entries found in {os.path.basename(f)}", cfg.quiet)
 
 
-def get_sequence_info(cfg, info, tax):
-    """Resolve taxids for sequence accessions from accession2taxid files
-    (tax_util.py:303-437, offline path)."""
-    files = [f for f in cfg.ncbi_sequence_info if check_file(f)]
+def get_sequence_info(cfg, info, tax, build_output_folder=None):
+    """Resolve taxids (+assembly specialization) for sequence accessions
+    (tax_util.get_sequence_info:318-437): e-utils in auto mode for small
+    inputs, accession2taxid prefixes/files otherwise; assembly level always
+    goes through e-utils."""
+    max_seqs_eutils = 50000
+    acc2txid_prefixes = (
+        "nucl_gb", "nucl_wgs", "nucl_est", "nucl_gss", "pdb", "prot",
+        "dead_nucl", "dead_wgs", "dead_prot",
+    )
+    if not cfg.ncbi_sequence_info:
+        mode = (["eutils"] if info.shape[0] <= max_seqs_eutils
+                else ["nucl_gb", "nucl_wgs"])
+    elif "eutils" in cfg.ncbi_sequence_info:
+        mode = ["eutils"]
+    else:
+        mode = list(cfg.ncbi_sequence_info)
+
+    if mode[0] == "eutils":
+        from ganon_tpu.eutils import run_eutils
+
+        print_log("Retrieving sequence information from NCBI e-utils",
+                  cfg.quiet)
+        info.update(run_eutils(
+            info, build_output_folder or ".", skip_taxid=False,
+            level=cfg.level, quiet=cfg.quiet,
+        ))
+        return
+
+    files, urls = [], []
+    for entry in mode:
+        if entry in acc2txid_prefixes:
+            urls.append(
+                "https://ftp.ncbi.nlm.nih.gov/pub/taxonomy/accession2taxid/"
+                + entry + ".accession2taxid.gz"
+            )
+        else:
+            files.append(entry)
+    if urls:
+        from ganon_tpu.util import download
+
+        files.extend(download(urls, build_output_folder or "."))
+    files = [f for f in files if check_file(f)]
     if not files:
         raise ValueError(
-            "offline build requires local accession2taxid file(s) via "
-            "--ncbi-sequence-info"
+            "no valid accession2taxid file(s) via --ncbi-sequence-info"
         )
     counts = parse_acc2txid(info, files)
     for f, cnt in counts.items():
         print_log(f" - {cnt} entries found in {os.path.basename(f)}", cfg.quiet)
+    if cfg.level == "assembly":
+        from ganon_tpu.eutils import run_eutils
+
+        print_log("Retrieving assembly information from NCBI e-utils",
+                  cfg.quiet)
+        info.update(run_eutils(
+            info, build_output_folder or ".", skip_taxid=True,
+            level="assembly", quiet=cfg.quiet,
+        ))
 
 
 def parse_acc2txid(info, acc2txid_files):
@@ -401,7 +448,7 @@ def build_custom(cfg, which_call: str = "build_custom") -> bool:
 
         if (tax or cfg.level == "assembly") and not cfg.input_file:
             if cfg.input_target == "sequence":
-                get_sequence_info(cfg, info, tax)
+                get_sequence_info(cfg, info, tax, build_output_folder)
             else:
                 get_file_info(cfg, info, tax)
 
@@ -426,12 +473,30 @@ def build_custom(cfg, which_call: str = "build_custom") -> bool:
                 raise ValueError(
                     f"{user_bins_col} overlaps with taxonomic identifiers"
                 )
-            # genome sizes: offline estimation from provided files (or 1s)
-            if cfg.skip_genome_size or not cfg.genome_size_files:
+            # genome sizes from provided files, auto-fetched auxiliary
+            # files (tax_util.py:77-105), or 1s when skipped/unavailable
+            if cfg.skip_genome_size:
                 leaves_sizes = {}
             else:
-                leaves_sizes = taxmod.parse_genome_size_files(
-                    cfg.genome_size_files, cfg.taxonomy
+                gs_files = cfg.genome_size_files
+                if not gs_files:
+                    from ganon_tpu.acquire import fetch_genome_size_files
+
+                    try:
+                        gs_files = fetch_genome_size_files(
+                            cfg.taxonomy, build_output_folder, cfg.quiet
+                        )
+                    except Exception as e:
+                        print_log(
+                            f" - genome size files unavailable ({e}); "
+                            "using size 1",
+                            cfg.quiet,
+                        )
+                        gs_files = []
+                leaves_sizes = (
+                    taxmod.parse_genome_size_files(gs_files, cfg.taxonomy)
+                    if gs_files
+                    else {}
                 )
             genome_sizes = taxmod.estimate_genome_sizes(
                 unique_nodes, tax, leaves_sizes
