@@ -79,6 +79,7 @@ def main():
     import jax.numpy as jnp
 
     from ganon_tpu.classify.device import classify_counts_fused
+    from ganon_tpu.ops.ibf_query import pack_table_u8
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
@@ -89,21 +90,23 @@ def main():
     print(f"db ready in {time.time() - t0:.1f}s: {ibf.ibf_config}", file=sys.stderr)
 
     cfg = ibf.ibf_config
-    bits = jnp.asarray(ibf.bits)
-    b2t = jnp.asarray(ibf.bin_to_target_ids())
+    tbl8_np, bstarts_np, bends_np = pack_table_u8(
+        ibf.bits, ibf.bin_to_target_ids(), len(ibf.targets())
+    )
+    tbl8 = jnp.asarray(tbl8_np)
+    bstarts, bends = jnp.asarray(bstarts_np), jnp.asarray(bends_np)
     m = READ_LEN - W + 1
 
     def step(j1, jl, j2):
         return classify_counts_fused(
-            bits, b2t, j1, jl, j2, jl,
+            tbl8, bstarts, bends, j1, jl, j2, jl,
             k=K, w=W, m1=m, m2=m,
             bin_size=cfg.bin_size_bits,
             hash_functions=cfg.hash_functions,
-            num_targets=len(ibf.targets()),
         )
 
     r1, r2, lengths = sample_paired_reads(rng, genomes, BATCH)
-    c, n = step(jnp.asarray(r1), jnp.asarray(lengths), jnp.asarray(r2))
+    c, n, _ = step(jnp.asarray(r1), jnp.asarray(lengths), jnp.asarray(r2))
     c.block_until_ready()  # compile warmup
 
     # stage all batches on device, then run them in ONE dispatch (lax.scan)
@@ -117,20 +120,26 @@ def main():
     jax.block_until_ready((j1, j2, jl))
 
     @jax.jit
-    def run_all(j1, j2, jl):
+    def run_all(tbl8, bstarts, bends, j1, j2, jl):
         def body(carry, xs):
             b1, b2, bl = xs
-            c, n = step(b1, bl, b2)
+            c, n, _ = classify_counts_fused(
+                tbl8, bstarts, bends, b1, bl, b2, bl,
+                k=K, w=W, m1=m, m2=m,
+                bin_size=cfg.bin_size_bits,
+                hash_functions=cfg.hash_functions,
+            )
             # fold outputs so nothing large leaves the device
             return carry + c.sum() + n.sum(), None
 
         total, _ = jax.lax.scan(body, jnp.int64(0), (j1, j2, jl))
         return total
 
-    run_all(j1, j2, jl).block_until_ready()  # compile
+    # transfer the warmup total: on the tunneled device block_until_ready
+    # alone does not reliably fence execution
+    int(run_all(tbl8, bstarts, bends, j1, j2, jl))  # compile + fence
     t0 = time.time()
-    total = run_all(j1, j2, jl)
-    total.block_until_ready()
+    total = int(run_all(tbl8, bstarts, bends, j1, j2, jl))
     elapsed = time.time() - t0
 
     total_reads = BATCH * N_BATCHES

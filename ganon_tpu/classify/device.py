@@ -15,7 +15,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ganon_tpu.ops.minimizers import encode_seqs, minimizers_masked_jax
-from ganon_tpu.ops.ibf_query import ibf_row_indices, bulk_count_bins, target_counts
+from ganon_tpu.ops.ibf_query import (
+    ibf_row_indices,
+    bulk_count_bins,
+    bulk_target_counts,
+    bulk_target_counts_u8,
+    compact_hashes,
+    pack_table_u8,
+    target_counts,
+    target_segments,
+)
 
 
 def bucket_len(n: int, minimum: int = 128) -> int:
@@ -56,42 +65,70 @@ def extract_hashes(codes1, len1, codes2, len2, *, k: int, w: int, m1: int, m2: i
     return hashes, mask, n_hashes
 
 
-@partial(jax.jit, static_argnames=("bin_size", "hash_functions", "num_targets"))
+@partial(jax.jit, static_argnames=("bin_size", "hash_functions"))
 def filter_counts(
-    bits, bin_to_target, hashes, mask, n_hashes, *,
-    bin_size: int, hash_functions: int, num_targets: int,
+    bits, starts, ends, hashes, mask, n_hashes, *,
+    bin_size: int, hash_functions: int, perm=None,
 ):
     """Per-target clamped counts for one filter: int32 [B, num_targets]."""
     rows = ibf_row_indices(hashes, bin_size=bin_size, hash_functions=hash_functions)
-    bc = bulk_count_bins(bits, rows, mask)
-    tc = target_counts(bc, bin_to_target, num_targets=num_targets)
+    tc = bulk_target_counts(bits, rows, mask, starts, ends, perm)
     # a target split across several technical bins can exceed n_hashes
     return jnp.minimum(tc, n_hashes[:, None])
 
 
+@partial(jax.jit, static_argnames=("bin_size", "hash_functions"))
+def filter_counts_u8(
+    tbl8, byte_starts, byte_ends, hashes, mask, n_hashes, *,
+    bin_size: int, hash_functions: int,
+):
+    """Per-target clamped counts on the u8 device layout (the fast path)."""
+    rows = ibf_row_indices(hashes, bin_size=bin_size, hash_functions=hash_functions)
+    tc = bulk_target_counts_u8(tbl8, rows, mask, byte_starts, byte_ends)
+    return jnp.minimum(tc, n_hashes[:, None])
+
+
+def compact_width(m_total: int) -> int:
+    """Compacted hash capacity for a read of ``m_total`` window positions.
+
+    Emission density for typical (k, w) is ~2/(w-k+2) (~1/7 at 19/31), so
+    a quarter of the positions covers >4x the expectation; overflowing
+    reads fall back to the uncompacted path. Long reads skip compaction —
+    the rank-select compare grows with ``m_total * capacity``.
+    """
+    if m_total > 2048:
+        return 0
+    return min(m_total, max(32, -(-m_total // 4 // 8) * 8))
+
+
 @partial(
     jax.jit,
-    static_argnames=(
-        "k", "w", "m1", "m2", "bin_size", "hash_functions", "num_targets"
-    ),
+    static_argnames=("k", "w", "m1", "m2", "bin_size", "hash_functions"),
 )
 def classify_counts_fused(
-    bits, bin_to_target, codes1, len1, codes2, len2, *,
+    tbl8, byte_starts, byte_ends, codes1, len1, codes2, len2, *,
     k: int, w: int, m1: int, m2: int,
-    bin_size: int, hash_functions: int, num_targets: int,
+    bin_size: int, hash_functions: int,
 ):
     """One-dispatch classify step: codes -> clamped per-target counts.
 
-    Fuses hash extraction (single or paired) with the bulk count so a
-    batch costs a single host->device round trip.
+    Fuses hash extraction (single or paired), emitted-hash compaction and
+    the u8 bulk count so a batch costs a single host->device round trip.
+    Returns ``(counts, n_hashes, overflow)``; overflowing reads (more
+    emissions than the compaction width) have inexact counts and must be
+    re-run uncompacted.
     """
     hashes, mask, n_hashes = extract_hashes(
         codes1, len1, codes2, len2, k=k, w=w, m1=m1, m2=m2
     )
+    mc = compact_width(hashes.shape[1])
+    if mc and mc < hashes.shape[1]:
+        hashes, mask, overflow = compact_hashes(hashes, mask, max_compact=mc)
+    else:
+        overflow = jnp.zeros(hashes.shape[0], dtype=bool)
     rows = ibf_row_indices(hashes, bin_size=bin_size, hash_functions=hash_functions)
-    bc = bulk_count_bins(bits, rows, mask)
-    tc = target_counts(bc, bin_to_target, num_targets=num_targets)
-    return jnp.minimum(tc, n_hashes[:, None]), n_hashes
+    tc = bulk_target_counts_u8(tbl8, rows, mask, byte_starts, byte_ends)
+    return jnp.minimum(tc, n_hashes[:, None]), n_hashes, overflow
 
 
 class DeviceFilter:
@@ -101,20 +138,25 @@ class DeviceFilter:
         self.ibf_config = ibf.ibf_config
         self.targets = ibf.targets()
         self.num_targets = len(self.targets)
-        self.bits = jnp.asarray(ibf.bits)
-        self.bin_to_target = jnp.asarray(ibf.bin_to_target_ids())
+        b2t = ibf.bin_to_target_ids()
+        tbl8, byte_starts, byte_ends = pack_table_u8(
+            ibf.bits, b2t, self.num_targets
+        )
+        self.tbl8 = jnp.asarray(tbl8)
+        self.byte_starts = jnp.asarray(byte_starts)
+        self.byte_ends = jnp.asarray(byte_ends)
         self.target_fpr = ibf.target_fpr()
 
     def counts(self, hashes, mask, n_hashes) -> np.ndarray:
-        return filter_counts(
-            self.bits,
-            self.bin_to_target,
+        return filter_counts_u8(
+            self.tbl8,
+            self.byte_starts,
+            self.byte_ends,
             hashes,
             mask,
             n_hashes,
             bin_size=self.ibf_config.bin_size_bits,
             hash_functions=self.ibf_config.hash_functions,
-            num_targets=self.num_targets,
         )
 
 
@@ -188,7 +230,7 @@ class DeviceHIBF:
         tid = {t: i for i, t in enumerate(self.targets)}
         self.subs = [DeviceFilter(s) for s in hibf.subs]
         self.sub_cols = [
-            np.asarray([tid[t] for t in s.targets], dtype=np.int64)
+            np.asarray([tid[t] for t in s.targets], dtype=np.int32)
             for s in self.subs
         ]
         self.target_fpr = hibf.target_fpr()

@@ -444,6 +444,16 @@ def _classify_batch(
         m1=m1,
         m2=m2,
     )
+    # compact emitted hashes (shared across the level's filters): ~4x
+    # fewer table fetches; reads overflowing the compaction width fall
+    # back to the exact uncompacted arrays
+    mc = dev.compact_width(hashes.shape[1])
+    if mc and mc < hashes.shape[1]:
+        from ganon_tpu.ops.ibf_query import compact_hashes
+
+        hc, mk, overflow = compact_hashes(hashes, mask, max_compact=mc)
+        if not bool(np.asarray(overflow).any()):
+            hashes, mask = hc, mk
     counts_dev = [f.counts(hashes, mask, n_hashes_d) for f in ctx.filters]
     nh = np.asarray(n_hashes_d)[:B0].astype(np.int64)
     l1 = batch.len1.astype(np.int64)

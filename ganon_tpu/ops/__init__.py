@@ -4,7 +4,13 @@ from ganon_tpu.ops.minimizers import (
     minimizers_jax,
     minimizers_golden,
 )
-from ganon_tpu.ops.ibf_query import ibf_row_indices, bulk_count_bins, target_counts
+from ganon_tpu.ops.ibf_query import (
+    ibf_row_indices,
+    bulk_count_bins,
+    bulk_target_counts,
+    target_counts,
+    target_segments,
+)
 
 __all__ = [
     "adjust_seed",
@@ -13,5 +19,7 @@ __all__ = [
     "minimizers_golden",
     "ibf_row_indices",
     "bulk_count_bins",
+    "bulk_target_counts",
     "target_counts",
+    "target_segments",
 ]

@@ -25,7 +25,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ganon_tpu.ops.minimizers import minimizers_masked_jax
-from ganon_tpu.ops.ibf_query import ibf_row_indices, bulk_count_bins, target_counts
+from ganon_tpu.ops.ibf_query import (
+    ibf_row_indices,
+    bulk_count_bins,
+    target_counts,
+    target_segments,
+)
 
 
 def make_mesh(devices=None, batch_axis: int | None = None) -> Mesh:
@@ -57,7 +62,15 @@ def _classify_step(
     bits, bin_to_target, codes, lengths, *,
     k: int, w: int, m1: int, bin_size: int, hash_functions: int, num_targets: int,
 ):
-    """Single-call classify compute: codes -> per-target clamped counts."""
+    """Single-call classify compute: codes -> per-target clamped counts.
+
+    Keeps the per-bin-count + one-hot matmul formulation: with ``bits``
+    column-sharded over the ``bins`` mesh axis the contraction over bins
+    is what GSPMD turns into the per-shard partial sum + ``psum`` — the
+    collective pattern the sharded classifier is built around. (The
+    single-chip fast path uses the cumsum segment-sum instead,
+    ganon_tpu.ops.ibf_query.bulk_target_counts.)
+    """
     hashes, mask, n_hashes = minimizers_masked_jax(codes, lengths, k=k, w=w)
     hashes, mask = hashes[:, :m1], mask[:, :m1]
     rows = ibf_row_indices(hashes, bin_size=bin_size, hash_functions=hash_functions)

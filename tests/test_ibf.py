@@ -105,6 +105,97 @@ def test_target_counts_matmul():
     assert (tc[:, 2] == bc[:, 25:40].sum(1)).all()
 
 
+def test_bulk_target_counts_equals_matmul_path():
+    """The cumsum segment-sum target reduction matches the reference
+    formulation (per-bin bulk count + per-target technical-bin sum) on
+    random filters, including non-contiguous bin maps (permutation)."""
+    import jax.numpy as jnp
+    from ganon_tpu.ops.ibf_query import bulk_target_counts, target_segments
+
+    rng = np.random.default_rng(11)
+    R, W, B, M, S, T = 4096, 2, 16, 50, 3, 7
+    bits = jnp.asarray(rng.integers(0, 2**32, (R, W), dtype=np.uint32))
+    rows = jnp.asarray(rng.integers(0, R, (B, M, S)), dtype=jnp.int32)
+    mask = jnp.asarray(rng.random((B, M)) < 0.7)
+    for shuffle in (False, True):
+        b2t = np.sort(rng.integers(0, T + 1, W * 32)).astype(np.int32)
+        if shuffle:
+            rng.shuffle(b2t)
+        ref = np.asarray(
+            target_counts(
+                bulk_count_bins(bits, rows, mask), jnp.asarray(b2t),
+                num_targets=T,
+            )
+        )
+        perm, starts, ends = target_segments(b2t, T)
+        got = np.asarray(
+            bulk_target_counts(
+                bits, rows, mask, jnp.asarray(starts), jnp.asarray(ends),
+                jnp.asarray(perm) if perm is not None else None,
+            )
+        )
+        assert (got == ref).all()
+        assert shuffle or perm is None  # contiguous maps skip the permute
+
+
+def test_u8_layout_counts_equal_reference_formulation():
+    """The byte-aligned u8 device layout (pack_table_u8 +
+    bulk_target_counts_u8) produces the same per-target counts as the
+    interleaved u32 formulation, for contiguous and shuffled bin maps."""
+    import jax.numpy as jnp
+    from ganon_tpu.ops.ibf_query import (
+        bulk_target_counts_u8, pack_table_u8)
+
+    rng = np.random.default_rng(12)
+    R, W, B, M, S, T = 2048, 3, 8, 40, 4, 11
+    bits = rng.integers(0, 2**32, (R, W), dtype=np.uint32)
+    rows = jnp.asarray(rng.integers(0, R, (B, M, S)), dtype=jnp.int32)
+    mask = jnp.asarray(rng.random((B, M)) < 0.5)
+    for shuffle in (False, True):
+        b2t = np.sort(rng.integers(0, T + 1, W * 32)).astype(np.int32)
+        if shuffle:
+            rng.shuffle(b2t)
+        ref = np.asarray(
+            target_counts(
+                bulk_count_bins(jnp.asarray(bits), rows, mask),
+                jnp.asarray(b2t), num_targets=T,
+            )
+        )
+        tbl8, bs, be = pack_table_u8(bits, b2t, T)
+        got = np.asarray(
+            bulk_target_counts_u8(
+                jnp.asarray(tbl8), rows, mask, jnp.asarray(bs),
+                jnp.asarray(be),
+            )
+        )
+        assert (got == ref).all()
+
+
+def test_compact_hashes_rank_select():
+    """Compaction keeps the emitted multiset in order and flags
+    overflow exactly."""
+    import jax.numpy as jnp
+    from ganon_tpu.ops.ibf_query import compact_hashes
+
+    rng = np.random.default_rng(13)
+    B, M, MC = 16, 50, 16
+    h = rng.integers(0, 2**60, (B, M), dtype=np.uint64)
+    msk = rng.random((B, M)) < 0.25
+    msk[0] = True  # guaranteed overflow row (50 > 16)
+    msk[1] = False  # empty row
+    hc, mc, over = compact_hashes(
+        jnp.asarray(h), jnp.asarray(msk), max_compact=MC
+    )
+    hc, mc, over = np.asarray(hc), np.asarray(mc), np.asarray(over)
+    for b in range(B):
+        emitted = h[b][msk[b]]
+        assert over[b] == (len(emitted) > MC)
+        n = min(len(emitted), MC)
+        assert (hc[b][:n] == emitted[:n]).all()
+        assert mc[b].sum() == n
+        assert not mc[b][n:].any()
+
+
 def test_save_load_roundtrip(tmp_path):
     rng = np.random.default_rng(4)
     th = _random_target_hashes(rng, 3)
