@@ -6,13 +6,15 @@ a 2-D device mesh:
 
 * axis ``batch``: read batches are data-parallel (each chip hashes and
   thresholds its shard of reads),
-* axis ``bins``: the IBF bit-matrix is column-sharded (each chip holds a
-  slice of the Bloom bins; a read's hash set queries all local bins).
+* axis ``bins``: the filter's byte-aligned u8 table is column-sharded
+  (each chip holds a slice of the Bloom bins; a read's hash set queries
+  all local bins).
 
-Per-bin counts are summed into per-target counts with an MXU matmul whose
-contraction runs over the sharded bin axis — GSPMD inserts the required
-``psum`` over ``bins`` automatically, which is the all-reduce the
-reference never needed (single-host shared memory) but a pod does.
+Per-byte hit counts are summed locally on each bin shard; the per-target
+segment sum runs on the (small) gathered ``[B, W8]`` count matrix —
+GSPMD inserts the ``all_gather`` over ``bins`` automatically, which is
+the collective the reference never needed (single-host shared memory)
+but a pod does.
 """
 
 from __future__ import annotations
@@ -26,10 +28,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ganon_tpu.ops.minimizers import minimizers_masked_jax
 from ganon_tpu.ops.ibf_query import (
+    _popcount_u8,
     ibf_row_indices,
-    bulk_count_bins,
-    target_counts,
-    target_segments,
+    pack_table_u8,
 )
 
 
@@ -56,26 +57,34 @@ def make_mesh(devices=None, batch_axis: int | None = None) -> Mesh:
 
 @partial(
     jax.jit,
-    static_argnames=("k", "w", "m1", "bin_size", "hash_functions", "num_targets"),
+    static_argnames=("k", "w", "m1", "bin_size", "hash_functions"),
 )
 def _classify_step(
-    bits, bin_to_target, codes, lengths, *,
-    k: int, w: int, m1: int, bin_size: int, hash_functions: int, num_targets: int,
+    tbl8, byte_starts, byte_ends, codes, lengths, *,
+    k: int, w: int, m1: int, bin_size: int, hash_functions: int,
 ):
     """Single-call classify compute: codes -> per-target clamped counts.
 
-    Keeps the per-bin-count + one-hot matmul formulation: with ``bits``
-    column-sharded over the ``bins`` mesh axis the contraction over bins
-    is what GSPMD turns into the per-shard partial sum + ``psum`` — the
-    collective pattern the sharded classifier is built around. (The
-    single-chip fast path uses the cumsum segment-sum instead,
-    ganon_tpu.ops.ibf_query.bulk_target_counts.)
+    With ``tbl8`` column-sharded over the ``bins`` mesh axis, the gather
+    + popcount + per-byte reduction stay shard-local; only the tiny
+    ``[B, W8]`` per-byte count matrix crosses the interconnect for the
+    prefix-sum segment reduction (GSPMD inserts the all_gather).
     """
     hashes, mask, n_hashes = minimizers_masked_jax(codes, lengths, k=k, w=w)
     hashes, mask = hashes[:, :m1], mask[:, :m1]
     rows = ibf_row_indices(hashes, bin_size=bin_size, hash_functions=hash_functions)
-    bc = bulk_count_bins(bits, rows, mask)
-    tc = target_counts(bc, bin_to_target, num_targets=num_targets)
+    gathered = tbl8[rows]  # [B, M, S, W8] — W8 sharded over bins
+    member = gathered[:, :, 0, :]
+    for s in range(1, rows.shape[2]):
+        member = member & gathered[:, :, s, :]
+    member = jnp.where(mask[:, :, None], member, jnp.uint8(0))
+    pc = _popcount_u8(member).astype(jnp.int32)
+    cw = jnp.sum(pc, axis=1)  # [B, W8] — shard-local reduction
+    cs = jnp.concatenate(
+        [jnp.zeros((cw.shape[0], 1), cw.dtype), jnp.cumsum(cw, axis=1)],
+        axis=1,
+    )
+    tc = cs[:, byte_ends] - cs[:, byte_starts]
     return jnp.minimum(tc, n_hashes[:, None]), n_hashes
 
 
@@ -88,18 +97,21 @@ class ShardedClassifier:
         self.num_targets = len(ibf.targets())
         n_bins_shards = mesh.shape["bins"]
         self.batch_mult = mesh.shape["batch"]
-        # pad the word axis so the bin shard is even across devices
-        bits = ibf.bits
-        b2t = ibf.bin_to_target_ids()
-        W = bits.shape[1]
-        W_pad = -(-W // n_bins_shards) * n_bins_shards
-        if W_pad != W:
-            bits = np.pad(bits, ((0, 0), (0, W_pad - W)))
-            b2t = np.pad(
-                b2t, (0, (W_pad - W) * 32), constant_values=self.num_targets
-            )
-        self.bits = jax.device_put(bits, NamedSharding(mesh, P(None, "bins")))
-        self.bin_to_target = jax.device_put(b2t, NamedSharding(mesh, P()))
+        tbl8, byte_starts, byte_ends = pack_table_u8(
+            ibf.bits, ibf.bin_to_target_ids(), self.num_targets
+        )
+        # pad the byte axis so the bin shard is even across devices
+        W8 = tbl8.shape[1]
+        W8_pad = -(-W8 // n_bins_shards) * n_bins_shards
+        if W8_pad != W8:
+            tbl8 = np.pad(tbl8, ((0, 0), (0, W8_pad - W8)))
+        self.tbl8 = jax.device_put(tbl8, NamedSharding(mesh, P(None, "bins")))
+        self.byte_starts = jax.device_put(
+            jnp.asarray(byte_starts), NamedSharding(mesh, P())
+        )
+        self.byte_ends = jax.device_put(
+            jnp.asarray(byte_ends), NamedSharding(mesh, P())
+        )
 
     def counts(self, codes: np.ndarray, lengths: np.ndarray):
         """codes uint8 [B, L] / lengths int32 [B] -> (counts [B, T], n_hashes)."""
@@ -113,8 +125,9 @@ class ShardedClassifier:
         codes = jax.device_put(codes, sb)
         lengths = jax.device_put(lengths, NamedSharding(self.mesh, P("batch")))
         counts, n_hashes = _classify_step(
-            self.bits,
-            self.bin_to_target,
+            self.tbl8,
+            self.byte_starts,
+            self.byte_ends,
             codes,
             lengths,
             k=self.cfg.kmer_size,
@@ -122,6 +135,5 @@ class ShardedClassifier:
             m1=m1,
             bin_size=self.cfg.bin_size_bits,
             hash_functions=self.cfg.hash_functions,
-            num_targets=self.num_targets,
         )
         return counts[:B], n_hashes[:B]

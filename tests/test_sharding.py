@@ -52,6 +52,6 @@ def test_graft_entry():
 
     fn, args = mod.entry()
     counts, n_hashes = jax.jit(fn)(*args)
-    assert counts.shape[0] == args[2].shape[0]
+    assert counts.shape[0] == args[3].shape[0]  # batch of codes
 
     mod.dryrun_multichip(len(jax.devices()))
