@@ -241,16 +241,84 @@ class DeviceHIBF:
         )
         for sub, cols in zip(self.subs, self.sub_cols):
             c = sub.counts(hashes, mask, n_hashes)
-            out = out.at[:, cols].set(c)
+            out = out.at[:, cols].set(c.astype(jnp.int32))
+        return out
+
+
+class DeviceRaptorHIBF:
+    """A raptor-format HIBF flattened into per-sub-IBF u8 tables.
+
+    Queries every sub-IBF (see index.hibf.RaptorHIBF for why that is
+    equivalent to the reference's gated recursion) and sums each user
+    bin's technical-bin counts; user bins spread across sub-IBFs are
+    scattered into global target columns.
+    """
+
+    def __init__(self, rhibf, device=None):
+        self.ibf_config = rhibf.ibf_config
+        self.targets = rhibf.targets()
+        self.num_targets = len(self.targets)
+        self.target_fpr = rhibf.target_fpr()
+        self.subs = []
+        for (bits, bins, bin_size, hash_funs), b2f in zip(
+            rhibf.ibfs, rhibf.bin_to_filename
+        ):
+            tb = bits.shape[1] * 32
+            # per-sub target map: technical bin -> local user index; the
+            # local->global column map routes counts to target columns
+            fpos = np.asarray(b2f[:tb] if len(b2f) >= tb else
+                              np.pad(b2f, (0, tb - len(b2f)),
+                                     constant_values=-1))
+            used = sorted({int(v) for v in fpos if v >= 0})
+            if not used:
+                # routing-only IBF (all bins merged): the flattened query
+                # reads its children directly
+                continue
+            local_of = {g: i for i, g in enumerate(used)}
+            b2t_local = np.asarray(
+                [local_of.get(int(v), len(used)) for v in fpos],
+                dtype=np.int32,
+            )
+            tbl8, bstarts, bends = pack_table_u8(bits, b2t_local, len(used))
+            self.subs.append({
+                "tbl8": jnp.asarray(tbl8),
+                "byte_starts": jnp.asarray(bstarts),
+                "byte_ends": jnp.asarray(bends),
+                "bin_size": int(bin_size),
+                "hash_funs": int(hash_funs),
+                "cols": np.asarray(used, dtype=np.int32),
+            })
+
+    def counts(self, hashes, mask, n_hashes) -> np.ndarray:
+        out = jnp.zeros((hashes.shape[0], self.num_targets), dtype=jnp.int32)
+        for sub in self.subs:
+            if not len(sub["cols"]):
+                continue
+            c = filter_counts_u8(
+                sub["tbl8"], sub["byte_starts"], sub["byte_ends"],
+                hashes, mask, n_hashes,
+                bin_size=sub["bin_size"],
+                hash_functions=sub["hash_funs"],
+            )
+            out = out.at[:, sub["cols"]].max(c.astype(jnp.int32))
         return out
 
 
 def load_device_filter(path: str):
-    """Open an .ibf or .hibf file as a device-resident filter."""
+    """Open an .ibf or .hibf file as a device-resident filter.
+
+    ``.hibf`` files are auto-detected: raptor cereal index (the files the
+    reference builds through raptor) or our native npz forest.
+    """
     from ganon_tpu.index.ibf import IBF
-    from ganon_tpu.index.hibf import HIBF
+    from ganon_tpu.index.hibf import HIBF, RaptorHIBF
+    from ganon_tpu.index import serialize
 
     if path.endswith(".hibf"):
+        import zipfile
+
+        if not zipfile.is_zipfile(path) and serialize.is_raptor_hibf(path):
+            return DeviceRaptorHIBF(RaptorHIBF.load(path))
         return DeviceHIBF(HIBF.load(path))
     return DeviceFilter(IBF.load(path))
 

@@ -102,6 +102,55 @@ class HIBF:
         )
 
 
+class RaptorHIBF:
+    """A raptor-format hierarchical IBF, flattened for data-parallel query.
+
+    The reference queries this structure with per-read recursive descent
+    (hierarchical_interleaved_bloom_filter.hpp:432-460): count technical
+    bins of IBF 0, descend into a merged bin's child IBF when its summed
+    count reaches the read's threshold, record user-bin sums. Merged-bin
+    Blooms contain every hash of their subtree (supersets, no false
+    negatives), so a parent's count is always >= any descendant's — the
+    gating never removes a user bin whose own count passes the threshold.
+    A branch-free equivalent therefore queries EVERY sub-IBF and lets the
+    engine's rel-cutoff do the thresholding, which is exactly what the
+    TPU wants: uniform batched work instead of pointer chasing.
+    """
+
+    def __init__(self, parsed: dict):
+        self.window_size = parsed["window_size"]
+        self.kmer_size = parsed["kmer_size"]
+        self.fpr = parsed["fpr"]
+        self._targets = parsed["targets"]
+        self.ibfs = parsed["ibfs"]  # list of (bits, bins, bin_size, funs)
+        self.next_ibf_id = parsed["next_ibf_id"]
+        self.bin_to_filename = parsed["bin_to_filename"]
+        self.ibf_config = IBFConfig(
+            kmer_size=self.kmer_size,
+            window_size=self.window_size,
+            max_fp=self.fpr,
+            n_bins=sum(b for _, b, _, _ in self.ibfs),
+            hash_functions=self.ibfs[0][3] if self.ibfs else 0,
+            true_max_fp=self.fpr,
+            true_avg_fp=self.fpr,
+        )
+        self.hashes_count = {t: 0 for t in self._targets}
+
+    def targets(self):
+        return list(self._targets)
+
+    def target_fpr(self):
+        # raptor reports a single fpr for all user bins
+        # (GanonClassify.cpp:930-934)
+        return {t: self.fpr for t in self._targets}
+
+    @classmethod
+    def load(cls, path: str) -> "RaptorHIBF":
+        from ganon_tpu.index import serialize
+
+        return cls(serialize.read_raptor_hibf(path))
+
+
 def build_hibf(
     target_hashes: dict[str, np.ndarray],
     *,

@@ -1,0 +1,133 @@
+"""Raptor-format .hibf: codec round-trip + flattened device query.
+
+The reference builds .hibf through raptor and queries it by per-read
+recursive descent (GanonClassify.cpp:543-577, hibf.hpp:417-532); we load
+the same file format and query it as a flattened forest (see
+index.hibf.RaptorHIBF). These tests build a 2-level hierarchy by hand:
+root IBF with one merged bin per child (union of the child's hashes) +
+two child IBFs holding the user bins.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from ganon_tpu.index.ibf import build_ibf
+from ganon_tpu.index.serialize import (
+    is_raptor_hibf,
+    read_raptor_hibf,
+    write_raptor_hibf,
+)
+from ganon_tpu.index.hibf import RaptorHIBF
+from ganon_tpu.classify.device import (
+    DeviceFilter,
+    DeviceRaptorHIBF,
+    load_device_filter,
+)
+
+
+def _hashes(rng, n):
+    return np.unique(rng.integers(0, 2**62, size=n, dtype=np.uint64))
+
+
+@pytest.fixture(scope="module")
+def hierarchy(tmp_path_factory):
+    rng = np.random.default_rng(5)
+    groups = {
+        0: {"GCF_000000001|||1.minimiser": _hashes(rng, 400),
+            "s__Some---species.minimiser": _hashes(rng, 300)},
+        1: {"562.minimiser": _hashes(rng, 500)},
+    }
+    # child IBFs (user bins), root IBF (merged union bins)
+    child_ibfs = {g: build_ibf(h, kmer_size=19, window_size=31, max_fp=0.05)
+                  for g, h in groups.items()}
+    root = build_ibf(
+        {f"merged{g}": np.unique(np.concatenate(list(h.values())))
+         for g, h in groups.items()},
+        kmer_size=19, window_size=31, max_fp=0.05,
+    )
+
+    filenames = [f for g in groups.values() for f in g]
+    fidx = {f: i for i, f in enumerate(filenames)}
+
+    ibfs = [(root.bits, root.ibf_config.n_bins,
+             root.ibf_config.hash_functions)]
+    next_ibf_id = [np.zeros(root.bits.shape[1] * 32, dtype=np.int64)]
+    bin_to_filename = [np.full(root.bits.shape[1] * 32, -1, dtype=np.int64)]
+    root_bins = {t: [b for b, tt in root.bin_map if tt == t]
+                 for t in root.targets()}
+    for gi, g in enumerate(groups):
+        child = child_ibfs[g]
+        tb = child.bits.shape[1] * 32
+        ibfs.append((child.bits, child.ibf_config.n_bins,
+                     child.ibf_config.hash_functions))
+        nid = np.full(tb, gi + 1, dtype=np.int64)
+        b2f = np.full(tb, -1, dtype=np.int64)
+        for b, t in child.bin_map:
+            b2f[b] = fidx[t]
+        next_ibf_id.append(nid)
+        bin_to_filename.append(b2f)
+        for b in root_bins[f"merged{g}"]:
+            next_ibf_id[0][b] = gi + 1
+
+    path = str(tmp_path_factory.mktemp("raptor") / "db.hibf")
+    write_raptor_hibf(
+        path, window_size=31, kmer_size=19, fpr=0.05,
+        filenames=filenames, ibfs=ibfs, next_ibf_id=next_ibf_id,
+        bin_to_filename=bin_to_filename,
+    )
+    return path, groups, child_ibfs, filenames
+
+
+def test_roundtrip_header(hierarchy):
+    path, groups, child_ibfs, filenames = hierarchy
+    assert is_raptor_hibf(path)
+    parsed = read_raptor_hibf(path)
+    assert parsed["window_size"] == 31
+    assert parsed["kmer_size"] == 19
+    assert parsed["fpr"] == 0.05
+    # name unmangling: .minimiser stripped, ||| -> ., --- -> space
+    assert parsed["targets"] == [
+        "GCF_000000001.1", "s__Some species", "562"]
+    assert len(parsed["ibfs"]) == 3
+    got_bits = parsed["ibfs"][1][0]
+    assert (got_bits == child_ibfs[0].bits).all()
+
+
+def test_flattened_counts_match_per_child_query(hierarchy):
+    path, groups, child_ibfs, filenames = hierarchy
+    dev = load_device_filter(path)
+    assert isinstance(dev, DeviceRaptorHIBF)
+
+    rng = np.random.default_rng(9)
+    # queries: some true hashes from each user bin + random noise
+    all_h = {t: h for g in groups.values() for t, h in g.items()}
+    B, M = 4, 50
+    hashes = np.zeros((B, M), dtype=np.uint64)
+    for b, (t, h) in enumerate(list(all_h.items()) + [("noise", None)]):
+        hashes[b] = (rng.integers(0, 2**62, M, dtype=np.uint64)
+                     if h is None else rng.choice(h, M))
+    mask = np.ones((B, M), dtype=bool)
+    nh = np.full(B, M, dtype=np.int32)
+    got = np.asarray(dev.counts(
+        jnp.asarray(hashes), jnp.asarray(mask), jnp.asarray(nh)))
+
+    # expected: per-child DeviceFilter counts in global target order
+    exp = np.zeros((B, 3), dtype=np.int32)
+    col = {t: i for i, t in enumerate(dev.targets)}
+    unmangle = {
+        "GCF_000000001|||1.minimiser": "GCF_000000001.1",
+        "s__Some---species.minimiser": "s__Some species",
+        "562.minimiser": "562",
+    }
+    for g, child in child_ibfs.items():
+        dchild = DeviceFilter(child)
+        c = np.asarray(dchild.counts(
+            jnp.asarray(hashes), jnp.asarray(mask), jnp.asarray(nh)))
+        for j, t in enumerate(dchild.targets):
+            exp[:, col[unmangle[t]]] = c[:, j]
+    assert (got == exp).all()
+    # reads built from a user bin's hashes count fully for that bin
+    for b, t in enumerate(["GCF_000000001.1", "s__Some species", "562"]):
+        assert got[b, col[t]] == M
