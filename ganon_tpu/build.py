@@ -159,18 +159,64 @@ def load_taxonomy(cfg, build_output_folder=None):
     return tax
 
 
-def get_file_info(cfg, info, tax):
-    """Resolve taxids (+assembly specialization) from assembly_summary
-    files (tax_util.py:227-300, offline path)."""
-    files = [f for f in cfg.ncbi_file_info if check_file(f)]
+ASSEMBLY_SUMMARY_PREFIXES = (
+    "refseq", "genbank", "refseq_historical", "genbank_historical",
+)
+
+
+def get_file_info(cfg, info, tax, build_output_folder=None):
+    """Resolve taxids (+assembly specialization) for file accessions
+    (tax_util.get_file_info:227-281): assembly_summary files/prefixes for
+    NCBI, accession->node from the taxonomy files for GTDB."""
+    if cfg.taxonomy.startswith("gtdb"):
+        info.update(get_gtdb_target_node(tax, cfg.level))
+        return
+    files, urls = [], []
+    for entry in cfg.ncbi_file_info:
+        if entry in ASSEMBLY_SUMMARY_PREFIXES:
+            source = entry.split("_")[0]
+            urls.append(
+                "https://ftp.ncbi.nlm.nih.gov/genomes/" + source
+                + "/assembly_summary_" + entry + ".txt"
+            )
+        else:
+            files.append(entry)
+    if urls:
+        from ganon_tpu.util import download
+
+        files.extend(download(urls, build_output_folder or "."))
+    files = [f for f in files if check_file(f)]
     if not files:
         raise ValueError(
-            "offline build requires local assembly_summary file(s) via "
-            "--ncbi-file-info"
+            "no valid assembly_summary file(s) via --ncbi-file-info"
         )
     counts = parse_assembly_summary(info, files, cfg.level)
     for f, cnt in counts.items():
         print_log(f" - {cnt} entries found in {os.path.basename(f)}", cfg.quiet)
+
+
+def get_gtdb_target_node(tax, level):
+    """Accession -> GTDB leaf node from the taxonomy source files
+    (tax_util.get_gtdb_target_node:283-315)."""
+    rows = {}
+    for source in getattr(tax, "sources", []):
+        import gzip as _gzip
+
+        op = _gzip.open if str(source).endswith(".gz") else open
+        with op(source, "rt") as f:
+            for line in f:
+                fields = line.rstrip("\n").split("\t")
+                if len(fields) < 2:
+                    continue
+                acc = fields[0]
+                acc = acc[3:] if acc[:3] in ("RS_", "GB_") else acc
+                rows[acc] = fields[1].split(";")[-1].strip()
+    out = pd.DataFrame({"node": pd.Series(rows, dtype=str)})
+    out.index.name = "target"
+    if level == "assembly":
+        out["specialization"] = out.index
+        out["specialization_name"] = out["node"].map(tax.name)
+    return out
 
 
 def get_sequence_info(cfg, info, tax, build_output_folder=None):
@@ -450,7 +496,7 @@ def build_custom(cfg, which_call: str = "build_custom") -> bool:
             if cfg.input_target == "sequence":
                 get_sequence_info(cfg, info, tax, build_output_folder)
             else:
-                get_file_info(cfg, info, tax)
+                get_file_info(cfg, info, tax, build_output_folder)
 
         if tax:
             tax = validate_convert_taxonomy(info, tax, cfg)

@@ -143,10 +143,11 @@ def _expand_inputs(inputs, extension):
     import glob
     import os
 
+    ext = extension.lstrip(".")
     out = []
     for i in inputs:
         if os.path.isdir(i):
-            out.extend(sorted(glob.glob(os.path.join(i, f"*.{extension}"))))
+            out.extend(sorted(glob.glob(os.path.join(i, f"*.{ext}"))))
         elif os.path.isfile(i):
             out.append(i)
     return out
