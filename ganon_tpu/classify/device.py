@@ -28,8 +28,17 @@ from ganon_tpu.ops.ibf_query import (
 
 
 def bucket_len(n: int, minimum: int = 128) -> int:
-    """Round a length up to the next bucket (powers of two past `minimum`)."""
-    b = minimum
+    """Round a length up to the next bucket.
+
+    Multiples of 64 up to 1024 (fine enough that short-read batches do
+    not pad 1.7x, e.g. 150bp -> 192 not 256), powers of two beyond
+    (bounds the number of compiled shapes for long reads).
+    """
+    if n <= minimum:
+        return minimum
+    if n <= 1024:
+        return -(-n // 64) * 64
+    b = 1024
     while b < n:
         b *= 2
     return b
@@ -129,6 +138,171 @@ def classify_counts_fused(
     rows = ibf_row_indices(hashes, bin_size=bin_size, hash_functions=hash_functions)
     tc = bulk_target_counts_u8(tbl8, rows, mask, byte_starts, byte_ends)
     return jnp.minimum(tc, n_hashes[:, None]), n_hashes, overflow
+
+
+def pack_codes_2bit(codes: np.ndarray) -> np.ndarray:
+    """Host-side 2-bit packing of dna4 ranks (4 bases per byte).
+
+    Minimizes the host->device transfer (the classify pipeline's other
+    half besides the packed fetch): a 150bp read costs 38 bytes instead
+    of a 256-byte padded row.
+    """
+    B, L = codes.shape
+    Lp = -(-L // 4)
+    if Lp * 4 != L:
+        codes = np.pad(codes, ((0, 0), (0, Lp * 4 - L)))
+    c = codes.reshape(B, Lp, 4)
+    return (c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4)
+            | (c[:, :, 3] << 6)).astype(np.uint8)
+
+
+def unpack_codes_2bit(packed, L: int):
+    """Device-side unpack (jnp): [B, ceil(L/4)] u8 -> [B, L] ranks."""
+    B, Lp = packed.shape
+    shifts = jnp.arange(4, dtype=jnp.uint8) * jnp.uint8(2)
+    u = (packed[:, :, None] >> shifts) & jnp.uint8(3)
+    return u.reshape(B, Lp * 4)[:, :L]
+
+
+def pack_batch_input(codes1: np.ndarray, len1: np.ndarray,
+                     codes2: np.ndarray | None, len2: np.ndarray | None):
+    """One host->device buffer per batch: 2-bit codes + lengths.
+
+    Layout (u8): [B, L1p | L2p | 4 (len1 le-i32) | 4 (len2 le-i32)].
+    A single transfer matters because each host<->device hop pays fixed
+    latency on top of bandwidth.
+    """
+    parts = [pack_codes_2bit(codes1)]
+    if codes2 is not None:
+        parts.append(pack_codes_2bit(codes2))
+    parts.append(np.ascontiguousarray(len1, dtype="<i4").view(np.uint8)
+                 .reshape(len(len1), 4))
+    if codes2 is not None:
+        parts.append(np.ascontiguousarray(len2, dtype="<i4").view(np.uint8)
+                     .reshape(len(len2), 4))
+    return np.concatenate(parts, axis=1)
+
+
+def _unpack_batch_input(buf, L1: int, L2: int):
+    """Device-side split of :func:`pack_batch_input` (jnp)."""
+    import jax.lax as lax
+
+    L1p = -(-L1 // 4)
+    L2p = -(-L2 // 4) if L2 else 0
+    o = 0
+    codes1p = buf[:, o:o + L1p]; o += L1p  # noqa: E702
+    codes2p = buf[:, o:o + L2p] if L2 else None
+    o += L2p
+    len1 = lax.bitcast_convert_type(buf[:, o:o + 4], jnp.int32).reshape(-1)
+    o += 4
+    if L2:
+        len2 = lax.bitcast_convert_type(
+            buf[:, o:o + 4], jnp.int32).reshape(-1)
+    else:
+        len2 = None
+    return codes1p, len1, codes2p, len2
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "w", "L1", "L2", "bin_size", "hash_functions", "top_k",
+        "pack16",
+    ),
+)
+def classify_batch_packed(
+    tbl8, byte_starts, byte_ends, inbuf,
+    rel_cutoff, rel_filter, hashes_limit, *,
+    k: int, w: int, L1: int, L2: int, bin_size: int, hash_functions: int,
+    top_k: int, pack16: bool,
+):
+    """Whole per-batch device work in ONE dispatch, ONE int32 fetch.
+
+    2-bit unpack + extract + compact + u8 bulk count + threshold/top-K,
+    with every output packed into a single flat int32 array — the
+    classify engine pays exactly one host->device and one device->host
+    transfer per batch, which is what makes throughput survive dispatch
+    latency and link bandwidth (each sync stalls the pipeline; a
+    tunneled device adds a ~0.4s floor per transfer). Layout (B = batch
+    rows, K = top_k, T targets); with ``pack16`` the matches ride as
+    ``(count << 16) | target`` in one [B*K] block:
+
+      [B*K(*2)] matches | [B] n_matches | [B] max_count | [B] n_hashes |
+      [B] overflow | [T] matches_t | [T] disc_t | [T] unique_t |
+      3 scalars (seqs_classified, kmers_from_classified, kmers_matches)
+
+    Unpack with :func:`unpack_batch_result`.
+    """
+    codes1p, len1, codes2p, len2 = _unpack_batch_input(inbuf, L1, L2)
+    codes1 = unpack_codes_2bit(codes1p, L1)
+    codes2 = unpack_codes_2bit(codes2p, L2) if codes2p is not None else None
+    m1 = max(L1 - w + 1, 1)
+    m2 = max(L2 - w + 1, 1) if codes2p is not None else 0
+    counts, n_hashes, overflow = classify_counts_fused(
+        tbl8, byte_starts, byte_ends, codes1, len1, codes2, len2,
+        k=k, w=w, m1=m1, m2=m2,
+        bin_size=bin_size, hash_functions=hash_functions,
+    )
+    res = threshold_topk(
+        counts, n_hashes, rel_cutoff, rel_filter, hashes_limit, top_k=top_k
+    )
+    if pack16:
+        matches = [
+            ((res["top_vals"] << 16) | res["top_idx"]).ravel()
+        ]
+    else:
+        matches = [res["top_vals"].ravel(), res["top_idx"].ravel()]
+    parts = matches + [
+        res["n_matches"],
+        res["max_count"],
+        n_hashes,
+        overflow.astype(jnp.int32),
+        res["matches_t"],
+        res["disc_t"],
+        res["unique_t"],
+        jnp.stack([
+            res["seqs_classified"].astype(jnp.int32),
+            res["kmers_from_classified"].astype(jnp.int32),
+            res["kmers_matches"].astype(jnp.int32),
+        ]),
+    ]
+    return jnp.concatenate([p.astype(jnp.int32) for p in parts])
+
+
+def unpack_batch_result(packed: np.ndarray, B: int, K: int, T: int,
+                        pack16: bool = True) -> dict:
+    """Split a classify_batch_packed fetch back into the result dict."""
+    o = 0
+
+    def take(n, shape=None):
+        nonlocal o
+        v = packed[o:o + n]
+        o += n
+        return v.reshape(shape) if shape is not None else v
+
+    if pack16:
+        m = take(B * K, (B, K)).view(np.uint32)
+        top_vals = (m >> 16).astype(np.int32)
+        top_idx = (m & 0xFFFF).astype(np.int32)
+    else:
+        top_vals = take(B * K, (B, K))
+        top_idx = take(B * K, (B, K))
+    out = {
+        "top_vals": top_vals,
+        "top_idx": top_idx,
+        "n_matches": take(B),
+        "max_count": take(B),
+        "n_hashes": take(B),
+        "overflow": take(B).astype(bool),
+        "matches_t": take(T),
+        "disc_t": take(T),
+        "unique_t": take(T),
+    }
+    scalars = take(3)
+    out["seqs_classified"] = scalars[0]
+    out["kmers_from_classified"] = scalars[1]
+    out["kmers_matches"] = scalars[2]
+    return out
 
 
 class DeviceFilter:

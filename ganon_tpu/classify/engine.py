@@ -65,7 +65,7 @@ class ClassifyConfig:
     output_single: bool = False
     skip_lca: bool = False
     tax_root_node: str = "1"
-    n_reads: int = 1024  # device batch size
+    n_reads: int = 8192  # device batch size
     hashes_limit: int = 65535  # uint16 counter limit; raise for long reads
     device_thresholding: bool = True  # on-device cutoff/filter + top-K
     top_k_matches: int = 128  # compact output width (falls back if exceeded)
@@ -372,11 +372,35 @@ def run_classify(cfg: ClassifyConfig) -> dict:
             else:
                 yield from leftovers
 
+        # two-deep pipeline: dispatch batch i+1 before fetching batch i's
+        # results, hiding the device round-trip behind compute (the
+        # SafeQueue producer/consumer rebuilt around dispatch latency)
+        finish_args = (
+            ctx, cfg, rep, hierarchy_totals[label], first, last, out,
+            one_files, all_files,
+        )
+        pending = None
         for batch in batches():
-            lo = _classify_batch(
-                batch, ctx, cfg, rep, hierarchy_totals[label], first, last, out,
-                one_files, all_files,
-            )
+            disp = _dispatch_batch_fast(batch, ctx, cfg)
+            if disp is None:
+                if pending is not None:
+                    lo = _finish_batch_fast(pending, *finish_args)
+                    pending = None
+                    if lo is not None and len(lo):
+                        next_leftovers.append(lo)
+                lo = _classify_batch(
+                    batch, ctx, cfg, rep, hierarchy_totals[label], first,
+                    last, out, one_files, all_files,
+                )
+            else:
+                lo = None
+                if pending is not None:
+                    lo = _finish_batch_fast(pending, *finish_args)
+                pending = (batch, disp)
+            if lo is not None and len(lo):
+                next_leftovers.append(lo)
+        if pending is not None:
+            lo = _finish_batch_fast(pending, *finish_args)
             if lo is not None and len(lo):
                 next_leftovers.append(lo)
 
@@ -412,6 +436,62 @@ def run_classify(cfg: ClassifyConfig) -> dict:
         "totals": totals,
         "hierarchy_totals": hierarchy_totals,
     }
+
+
+def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
+                         cfg: ClassifyConfig):
+    """Kick off the single-dispatch fast path; None when not applicable
+    (multi-filter level, forest/raptor HIBF, or device thresholding off).
+    Returns the in-flight packed device array + unpack dims."""
+    if len(ctx.filters) != 1 or not cfg.device_thresholding:
+        return None
+    f = ctx.filters[0]
+    if not isinstance(f, dev.DeviceFilter):
+        return None
+    import jax.numpy as jnp
+
+    B0 = len(batch)
+    w = ctx.window_size
+    batch_pad = dev.bucket_len(B0, minimum=64)
+    codes1, len1, codes2, len2, m1, m2 = dev.batch_to_device(
+        batch, w, batch_pad
+    )
+    K = min(cfg.top_k_matches, f.num_targets)
+    pack16 = f.num_targets <= 0xFFFF and cfg.hashes_limit <= 0xFFFF
+    inbuf = dev.pack_batch_input(codes1, len1, codes2, len2)
+    packed = dev.classify_batch_packed(
+        f.tbl8, f.byte_starts, f.byte_ends, jnp.asarray(inbuf),
+        ctx.specs[0].rel_cutoff, ctx.level.rel_filter, cfg.hashes_limit,
+        k=ctx.kmer_size, w=w, L1=codes1.shape[1],
+        L2=codes2.shape[1] if codes2 is not None else 0,
+        bin_size=f.ibf_config.bin_size_bits,
+        hash_functions=f.ibf_config.hash_functions,
+        top_k=K, pack16=pack16,
+    )
+    return packed, batch_pad, K, f.num_targets, pack16
+
+
+def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
+                       out, one_files, all_files):
+    """Fetch + finish an in-flight fast batch (one device->host trip);
+    falls back to the exact full path on compaction/top-K overflow."""
+    batch, (packed, B_pad, K, T, pack16) = pending
+    B0 = len(batch)
+    res = dev.unpack_batch_result(np.asarray(packed), B_pad, K, T, pack16)
+    if (res["overflow"][:B0].any()
+            or (res["n_matches"][:B0] > K).any()):
+        return _classify_batch(
+            batch, ctx, cfg, rep, level_totals, first, last, out,
+            one_files, all_files,
+        )
+    nh = res["n_hashes"][:B0].astype(np.int64)
+    l1 = batch.len1.astype(np.int64)
+    l2 = (batch.len2.astype(np.int64) if batch.paired
+          else np.zeros(B0, np.int64))
+    return _finish_batch_compact(
+        batch, ctx, cfg, rep, level_totals, first, last, out,
+        one_files, all_files, res, nh, l1, l2,
+    )
 
 
 def _classify_batch(

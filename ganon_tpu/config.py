@@ -256,7 +256,7 @@ class Config:
         cl.add_argument("--output-single", action="store_true", default=False)
         cl.add_argument("--tax-root-node", type=str, default="1")
         cl.add_argument("-t", "--threads", type=unsigned_int(1), default=1)
-        cl.add_argument("--n-reads", type=unsigned_int(1), default=1024,
+        cl.add_argument("--n-reads", type=unsigned_int(1), default=8192,
                         help=argparse.SUPPRESS)
         cl.add_argument("--n-batches", type=unsigned_int(1), default=1000,
                         help=argparse.SUPPRESS)
