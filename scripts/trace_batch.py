@@ -1,0 +1,90 @@
+"""Device-op trace of the production classify_batch_packed dispatch.
+
+Wall-clock timing through the tunneled device is unreliable (dispatch
+elision/latency hide real costs); the xplane device trace records true
+per-op durations. Prints the top device ops for one production batch.
+"""
+
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, "/tmp/xp")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ganon_tpu.index.ibf import IBF
+from ganon_tpu.ops.ibf_query import pack_table_u8
+from ganon_tpu.classify.device import classify_batch_packed, pack_batch_input
+
+K, W = 19, 31
+B, L = 8192, 150
+N_TRACE = 3
+
+
+def main():
+    ibf = IBF.load(".bench_cache/db.ibf")
+    cfg = ibf.ibf_config
+    T = len(ibf.targets())
+    tbl8np, bsnp, benp = pack_table_u8(ibf.bits, ibf.bin_to_target_ids(), T)
+    tbl8 = jnp.asarray(tbl8np)
+    bs, be = jnp.asarray(bsnp), jnp.asarray(benp)
+
+    rng = np.random.default_rng(0)
+
+    def make_batch(i):
+        rng2 = np.random.default_rng(i)
+        codes1 = rng2.integers(0, 4, size=(B, L), dtype=np.uint8)
+        codes2 = rng2.integers(0, 4, size=(B, L), dtype=np.uint8)
+        lens = np.full((B,), L, dtype=np.int32)
+        return pack_batch_input(codes1, lens, codes2, lens)
+
+    def run(buf):
+        return classify_batch_packed(
+            tbl8, bs, be, jnp.asarray(buf),
+            jnp.float32(0.25), jnp.float32(0.0), jnp.int32(65535),
+            k=K, w=W, L1=L, L2=L,
+            bin_size=cfg.bin_size_bits,
+            hash_functions=cfg.hash_functions,
+            top_k=32, pack16=True,
+        )
+
+    np.asarray(run(make_batch(0)))  # warm
+
+    tracedir = "/tmp/jaxtrace_batch"
+    os.system(f"rm -rf {tracedir}")
+    bufs = [make_batch(i + 1) for i in range(N_TRACE)]
+    with jax.profiler.trace(tracedir):
+        outs = [run(b) for b in bufs]
+        for o in outs:
+            np.asarray(o)
+
+    import xplane_pb2 as xp
+
+    f = sorted(glob.glob(f"{tracedir}/plugins/profile/*/*.xplane.pb"))[-1]
+    sp = xp.XSpace()
+    sp.ParseFromString(open(f, "rb").read())
+    for pl in sp.planes:
+        if "TPU" not in pl.name:
+            continue
+        md = pl.event_metadata
+        durs = {}
+        for ln in pl.lines:
+            for ev in ln.events:
+                name = md[ev.metadata_id].name if ev.metadata_id in md else "?"
+                durs[name] = durs.get(name, 0.0) + ev.duration_ps / 1e12
+        print("== plane:", pl.name)
+        total = 0.0
+        for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:30]:
+            print(f"  {d/N_TRACE*1e3:9.3f} ms  {name[:150]}")
+        for name, d in durs.items():
+            if not name.startswith("jit_"):
+                total += d
+        print(f"  (sum of non-jit ops: {total/N_TRACE*1e3:.3f} ms/batch)")
+
+
+if __name__ == "__main__":
+    main()
