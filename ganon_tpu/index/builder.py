@@ -18,15 +18,26 @@ from __future__ import annotations
 import os
 import sys
 from dataclasses import dataclass, field
+from functools import partial
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ganon_tpu.index.ibf import IBF, build_ibf
 from ganon_tpu.io.sequence import SequenceReader
-from ganon_tpu.ops.minimizers import encode_seqs, window_mins_jax
+from ganon_tpu.ops.minimizers import (
+    encode_seqs,
+    window_mins_jax,
+    window_mins_unique_jax,
+)
 
 # chunk length for device minimizer extraction over long sequences
 CHUNK = 1 << 18
+# pieces per device dispatch (amortizes dispatch/transfer latency; the
+# device link pays a fixed RPC cost per transfer, so bigger is better
+# until host memory pressure)
+PIECES_PER_BATCH = 32
 
 
 @dataclass
@@ -100,32 +111,6 @@ def parse_target_info(
     return input_map
 
 
-def sequence_hashes(
-    seq: str, k: int, w: int, _batch: list | None = None
-) -> np.ndarray:
-    """Distinct minimizer values of one sequence (device, chunked).
-
-    Uses the compaction-free window-min kernel: the set of window minima
-    equals the set of emitted minimizers, and build deduplicates anyway.
-    """
-    if len(seq) < w:
-        return np.empty(0, dtype=np.uint64)
-    step = CHUNK - (w - 1)
-    pieces = [seq[s : s + CHUNK] for s in range(0, max(len(seq) - w + 1, 1), step)]
-    out = []
-    for piece in pieces:
-        L = CHUNK if len(piece) == CHUNK else _bucket(len(piece))
-        codes, lengths = encode_seqs([piece], max_len=L)
-        mv, valid = window_mins_jax(codes, lengths, k=k, w=w)
-        mv, valid = np.asarray(mv)[0], np.asarray(valid)[0]
-        vals = mv[valid]
-        if len(vals):
-            out.append(np.unique(vals))
-    if not out:
-        return np.empty(0, dtype=np.uint64)
-    return np.unique(np.concatenate(out))
-
-
 def _bucket(n: int, minimum: int = 4096) -> int:
     b = minimum
     while b < n:
@@ -133,21 +118,122 @@ def _bucket(n: int, minimum: int = 4096) -> int:
     return min(b, CHUNK)
 
 
-def file_hash_set(
-    path: str, k: int, w: int, min_length: int, stats: BuildStats
-) -> np.ndarray:
-    """Sorted unique minimizers over all sequences of one file."""
-    parts = []
-    for _id, seq in SequenceReader(path):
-        if len(seq) < min_length:
-            stats.skipped_sequences += 1
-            continue
-        stats.sequences += 1
-        stats.length_bp += len(seq)
-        parts.append(sequence_hashes(seq, k, w))
-    if not parts:
-        return np.empty(0, dtype=np.uint64)
-    return np.unique(np.concatenate(parts))
+def _unique_cap(L: int) -> int:
+    """Compaction slots per piece: 1/5 of positions (~1.4x the expected
+    distinct-minima density of 2/(w-k+2)); overflow falls back."""
+    return max(min(L // 5, L), 1024)
+
+
+@partial(jax.jit, static_argnames=("k", "w", "L", "cap"))
+def _extract_packed(packed, lengths, *, k: int, w: int, L: int, cap: int):
+    """One-dispatch, one-fetch extraction: 2-bit codes -> packed u32.
+
+    Output layout (B pieces): [B*cap*2] value planes (lo, hi interleaved
+    per piece) | [B] n_unique | [B] overflow. A single flat fetch per
+    dispatch matters because the device link pays a fixed RPC cost per
+    transfer (same single-RPC pattern as classify_batch_packed).
+    """
+    from ganon_tpu.classify.device import unpack_codes_2bit
+
+    codes = unpack_codes_2bit(packed, L)
+    vals, n, ovf = window_mins_unique_jax(codes, lengths, k=k, w=w, cap=cap)
+    lo = vals.astype(jnp.uint32)
+    hi = (vals >> jnp.uint64(32)).astype(jnp.uint32)
+    return jnp.concatenate(
+        [
+            jnp.stack([lo, hi], axis=-1).reshape(-1),
+            n.astype(jnp.uint32),
+            ovf.astype(jnp.uint32),
+        ]
+    )
+
+
+class _HashExtractor:
+    """Batched device minimizer extraction with per-piece dedup.
+
+    Pieces (sequence chunks with ``w-1`` overlap) from any file are
+    packed into per-bucket ``[PIECES_PER_BATCH, L]`` buffers; one device
+    dispatch extracts sorted-distinct window minima for the whole buffer
+    (window_mins_unique_jax), so dispatch/transfer latency amortizes
+    over ~8 Mbp instead of one chunk — the reference gets the same
+    effect from its thread pool over per-target work items
+    (GanonBuild.cpp:184-249). Uploads are 2-bit packed; each dispatch
+    returns ONE flat u32 array. Dispatches are double-buffered: the
+    fetch of batch i overlaps the device compute of batch i+1.
+    """
+
+    def __init__(self, k: int, w: int):
+        self.k, self.w = k, w
+        self.bufs: dict[int, list] = {}   # bucket L -> [(key, codes)]
+        self.pending: list = []           # [(handle, owners, L, ...)]
+        self.out: dict[object, list] = {} # key -> [np.uint64 arrays]
+
+    def add(self, key, seq: str) -> None:
+        if len(seq) < self.w:
+            return
+        step = CHUNK - (self.w - 1)
+        for s in range(0, max(len(seq) - self.w + 1, 1), step):
+            piece = seq[s : s + CHUNK]
+            L = CHUNK if len(piece) == CHUNK else _bucket(len(piece))
+            buf = self.bufs.setdefault(L, [])
+            buf.append((key, piece))
+            if len(buf) >= PIECES_PER_BATCH:
+                self._submit(L)
+
+    def _submit(self, L: int) -> None:
+        from ganon_tpu.classify.device import pack_codes_2bit
+
+        buf = self.bufs.pop(L, [])
+        if not buf:
+            return
+        codes, lengths = encode_seqs([p for _, p in buf], max_len=L)
+        cap = _unique_cap(L)
+        packed = _extract_packed(
+            pack_codes_2bit(codes), jnp.asarray(lengths),
+            k=self.k, w=self.w, L=L, cap=cap,
+        )
+        self.pending.append((packed, [k for k, _ in buf], cap, codes,
+                             lengths))
+        if len(self.pending) >= 2:
+            self._drain_one()
+
+    def _drain_one(self) -> None:
+        packed, owners, cap, codes, lengths = self.pending.pop(0)
+        flat = np.asarray(packed)
+        B = len(owners)
+        planes = flat[: B * cap * 2].view(np.uint64).reshape(B, cap)
+        n = flat[B * cap * 2 : B * cap * 2 + B].astype(np.int64)
+        ovf = flat[B * cap * 2 + B :].astype(bool)
+        for i, key in enumerate(owners):
+            if ovf[i]:
+                # rare: more distinct minima than the compaction cap —
+                # exact fallback fetches the full window-min row
+                mv, valid = window_mins_jax(
+                    codes[i : i + 1], lengths[i : i + 1], k=self.k, w=self.w
+                )
+                u = np.unique(np.asarray(mv)[0][np.asarray(valid)[0]])
+            else:
+                u = planes[i, : n[i]]
+            if len(u):
+                self.out.setdefault(key, []).append(u)
+
+    def finish(self) -> dict[object, np.ndarray]:
+        for L in list(self.bufs):
+            self._submit(L)
+        while self.pending:
+            self._drain_one()
+        return {
+            key: np.unique(np.concatenate(parts))
+            for key, parts in self.out.items()
+        }
+
+
+def sequence_hashes(seq: str, k: int, w: int) -> np.ndarray:
+    """Distinct minimizer values of one sequence (device, chunked)."""
+    ex = _HashExtractor(k, w)
+    ex.add(0, seq)
+    res = ex.finish()
+    return res.get(0, np.empty(0, dtype=np.uint64))
 
 
 def count_target_hashes(
@@ -158,16 +244,34 @@ def count_target_hashes(
     min_length: int = 0,
     stats: BuildStats | None = None,
 ) -> dict[str, np.ndarray]:
-    """{target: concatenated per-file unique minimizer arrays}."""
+    """{target: concatenated per-file unique minimizer arrays}.
+
+    Reference semantics: dedup within a file; duplicates across files of
+    the same target are stored and counted twice (GanonBuild.cpp:225-240).
+    File reading/encoding runs inline; device dispatches are batched and
+    double-buffered by _HashExtractor.
+    """
     stats = stats if stats is not None else BuildStats()
-    out: dict[str, np.ndarray] = {}
+    ex = _HashExtractor(kmer_size, window_size)
+    file_keys: dict[str, list] = {}
     for target, files in input_map.items():
-        per_file = [
-            file_hash_set(f, kmer_size, window_size, min_length, stats)
-            for f in files
-        ]
+        file_keys[target] = []
+        for fi, path in enumerate(files):
+            key = (target, fi)
+            file_keys[target].append(key)
+            for _id, seq in SequenceReader(path):
+                if len(seq) < min_length:
+                    stats.skipped_sequences += 1
+                    continue
+                stats.sequences += 1
+                stats.length_bp += len(seq)
+                ex.add(key, seq)
+    per_file = ex.finish()
+    out: dict[str, np.ndarray] = {}
+    for target, keys in file_keys.items():
+        parts = [per_file[k] for k in keys if k in per_file]
         out[target] = (
-            np.concatenate(per_file) if per_file else np.empty(0, dtype=np.uint64)
+            np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
         )
     return out
 

@@ -126,7 +126,8 @@ def _scatter_bits(bits: np.ndarray, rows: np.ndarray, bins: np.ndarray) -> None:
     """OR bit ``bins[i]`` into row ``rows[i]`` for all i (duplicate-safe).
 
     Sort-and-reduce instead of ``np.bitwise_or.at`` (orders of magnitude
-    faster for large inserts).
+    faster for large inserts). Host fallback; the production build path
+    is the device-side :func:`_scatter_chunk` pipeline.
     """
     n_words = bits.shape[1]
     widx = rows.astype(np.int64) * n_words + (bins >> 5)
@@ -138,6 +139,123 @@ def _scatter_bits(bits: np.ndarray, rows: np.ndarray, bins: np.ndarray) -> None:
     merged = np.bitwise_or.reduceat(mask, boundaries)
     flat = bits.reshape(-1)
     flat[widx[boundaries]] |= merged
+
+
+# hashes per device scatter dispatch (x hash_functions bit-inserts each)
+SCATTER_CHUNK = 4 << 20
+
+
+def _scatter_chunk_jit():
+    """Build (once) the jitted device scatter-OR step.
+
+    One dispatch inserts a chunk of (hash, technical-bin) pairs into the
+    bit-matrix: row indices from the IBF hash family, flat bit indices
+    sorted + first-occurrence-deduplicated on device (duplicates within
+    a chunk would corrupt the scatter-ADD; duplicates ACROSS chunks are
+    harmless because chunks combine with bitwise OR). Everything —
+    hashing, sort, dedup, scatter, OR — runs on device; the build's
+    host<->device traffic is one hash upload per chunk and one final
+    bit-matrix fetch. Replaces the reference's thread-parallel
+    ``ibf.emplace`` loop (GanonBuild.cpp:871-896).
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from ganon_tpu.ops.ibf_query import ibf_row_indices
+
+    @partial(
+        jax.jit,
+        donate_argnums=(0,),
+        static_argnames=("bin_size", "hash_functions"),
+    )
+    def step(bits, hashes, bins, n_valid, *, bin_size, hash_functions):
+        n_words = bits.shape[1]
+        technical = jnp.uint64(n_words * 32)
+        rows = ibf_row_indices(
+            hashes, bin_size=bin_size, hash_functions=hash_functions
+        )  # [N, S]
+        bidx = rows.astype(jnp.uint64) * technical + bins.astype(jnp.uint64)[
+            :, None
+        ]
+        valid = (
+            jnp.arange(hashes.shape[0], dtype=jnp.int32) < n_valid
+        )  # [N]
+        # pad entries -> sentinel that sorts last and is masked out
+        sentinel = jnp.uint64(bin_size) * technical
+        bidx = jnp.where(valid[:, None], bidx, sentinel).reshape(-1)
+        hi = (bidx >> jnp.uint64(32)).astype(jnp.uint32)
+        lo = bidx.astype(jnp.uint32)
+        hi_s, lo_s = jax.lax.sort((hi, lo), dimension=0, num_keys=2)
+        first = jnp.concatenate(
+            [
+                jnp.ones((1,), dtype=bool),
+                (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
+            ]
+        )
+        sbidx = (hi_s.astype(jnp.uint64) << jnp.uint64(32)) | lo_s.astype(
+            jnp.uint64
+        )
+        uniq = first & (sbidx < sentinel)
+        word = jnp.where(uniq, (sbidx >> jnp.uint64(5)).astype(jnp.int64), 0)
+        bit = jnp.where(
+            uniq,
+            jnp.uint32(1) << (sbidx & jnp.uint64(31)).astype(jnp.uint32),
+            jnp.uint32(0),
+        )
+        delta = jnp.zeros(bits.size, dtype=jnp.uint32)
+        delta = delta.at[word].add(
+            bit, indices_are_sorted=True, mode="drop"
+        )
+        return bits | delta.reshape(bits.shape)
+
+    return step
+
+
+_scatter_step = None
+
+
+def scatter_hashes_device(
+    bits_shape: tuple[int, int],
+    chunks,
+    *,
+    bin_size: int,
+    hash_functions: int,
+) -> np.ndarray:
+    """Device-build the bit-matrix from an iterator of (hashes, bins).
+
+    ``chunks`` yields (uint64 hash array, int32 technical-bin array) of
+    equal length; chunk sizes are bucketed to bound compiled shapes.
+    Returns the final uint32 bit-matrix on host.
+    """
+    global _scatter_step
+    import jax
+    import jax.numpy as jnp
+
+    if _scatter_step is None:
+        _scatter_step = _scatter_chunk_jit()
+    bits = jnp.zeros(bits_shape, dtype=jnp.uint32)
+    for hashes, bins in chunks:
+        n = len(hashes)
+        if n == 0:
+            continue
+        cap = 1024
+        while cap < n:
+            cap *= 2
+        if cap != n:
+            hashes = np.pad(hashes, (0, cap - n))
+            bins = np.pad(bins, (0, cap - n))
+        bits = _scatter_step(
+            bits,
+            jnp.asarray(hashes),
+            jnp.asarray(bins),
+            jnp.int32(n),
+            bin_size=bin_size,
+            hash_functions=hash_functions,
+        )
+    # jax->numpy can come back non-C-contiguous; downstream views
+    # (pack_table_u8, serializers) need C order
+    return np.ascontiguousarray(np.asarray(bits))
 
 
 def build_ibf(
@@ -175,19 +293,28 @@ def build_ibf(
     splits = sizing.split_target_bins(cfg, hashes_count)
     technical = sizing.optimal_bins(cfg.n_bins)
     n_words = technical // 32
-    bits = np.zeros((cfg.bin_size_bits, n_words), dtype=np.uint32)
 
-    all_rows = []
-    all_bins = []
-    for binno, target, st, en in splits:
-        h = np.asarray(target_hashes[target][st : en + 1], dtype=np.uint64)
-        rows = ibf_row_indices_np(
-            h, bin_size=cfg.bin_size_bits, hash_functions=cfg.hash_functions
-        )  # [n, S]
-        all_rows.append(rows.reshape(-1))
-        all_bins.append(np.full(rows.size, binno, dtype=np.int64))
-    if all_rows:
-        _scatter_bits(bits, np.concatenate(all_rows), np.concatenate(all_bins))
+    def chunks():
+        # stream (hashes, bins) pairs, merging small splits into
+        # SCATTER_CHUNK-sized device dispatches
+        acc_h, acc_b, acc_n = [], [], 0
+        for binno, target, st, en in splits:
+            h = np.asarray(target_hashes[target][st : en + 1], dtype=np.uint64)
+            acc_h.append(h)
+            acc_b.append(np.full(len(h), binno, dtype=np.int32))
+            acc_n += len(h)
+            if acc_n >= SCATTER_CHUNK:
+                yield np.concatenate(acc_h), np.concatenate(acc_b)
+                acc_h, acc_b, acc_n = [], [], 0
+        if acc_n:
+            yield np.concatenate(acc_h), np.concatenate(acc_b)
+
+    bits = scatter_hashes_device(
+        (cfg.bin_size_bits, n_words),
+        chunks(),
+        bin_size=cfg.bin_size_bits,
+        hash_functions=cfg.hash_functions,
+    )
 
     bin_map = [(binno, target) for binno, target, _, _ in splits]
     return IBF(bits, cfg, hashes_count, bin_map)

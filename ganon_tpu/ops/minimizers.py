@@ -274,6 +274,64 @@ def minimizers_masked_jax(codes, lengths, *, k: int, w: int):
     return minval, emit, n_hashes
 
 
+@partial(jax.jit, static_argnames=("k", "w", "cap"))
+def window_mins_unique_jax(codes, lengths, *, k: int, w: int, cap: int):
+    """Sorted distinct window minima per row, compacted to ``cap`` slots.
+
+    Build-side fetch reducer: the set of distinct window minima equals
+    the target's minimizer set (density ~2/(w-k+2)), so deduplicating
+    and compacting on device cuts the device->host transfer ~5-7x —
+    the dominant build cost when the device link is slow.
+
+    Two lexicographic ``lax.sort`` passes (u64 split into u32 planes):
+    value-sort + first-occurrence mask, then a stable partition moving
+    the marked values to the front. No gathers (see compact_hashes).
+
+    Returns ``(vals u64 [B, cap] ascending-unique per row (tail
+    undefined), n_unique int32 [B], overflow bool [B])``; on overflow
+    the caller must fall back to :func:`window_mins_jax`.
+    """
+    B, L = codes.shape
+    c = codes.astype(jnp.uint64)
+    canon = _canonical_values(c, lengths, k, L)
+    ww = w - k + 1
+    nw = L - w + 1
+    val = canon
+    s = 1
+    while s * 2 <= ww:
+        val = jnp.minimum(val[:, : val.shape[1] - s], val[:, s:])
+        s *= 2
+    minval = jnp.minimum(val[:, :nw], val[:, ww - s : ww - s + nw])
+    wpos = jnp.arange(nw, dtype=jnp.int32)[None, :]
+    valid = wpos + w <= lengths[:, None]
+    n_valid = jnp.sum(valid, axis=1).astype(jnp.int32)
+    mv = jnp.where(valid, minval, jnp.uint64(_U64_MAX))
+    hi = (mv >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = mv.astype(jnp.uint32)
+    hi_s, lo_s = jax.lax.sort((hi, lo), dimension=1, num_keys=2)
+    first = jnp.concatenate(
+        [
+            jnp.ones((B, 1), dtype=bool),
+            (hi_s[:, 1:] != hi_s[:, :-1]) | (lo_s[:, 1:] != lo_s[:, :-1]),
+        ],
+        axis=1,
+    )
+    # positions >= n_valid hold the U64_MAX sentinel block
+    uniq = first & (wpos < n_valid[:, None])
+    n_unique = jnp.sum(uniq, axis=1).astype(jnp.int32)
+    key = jnp.where(uniq, wpos, wpos + nw)
+    _, lo_c, hi_c = jax.lax.sort(
+        (key, lo_s, hi_s), dimension=1, num_keys=1, is_stable=False
+    )
+    take = min(cap, nw)
+    vals = (hi_c[:, :take].astype(jnp.uint64) << jnp.uint64(32)) | lo_c[
+        :, :take
+    ].astype(jnp.uint64)
+    if take < cap:
+        vals = jnp.pad(vals, ((0, 0), (0, cap - take)))
+    return vals, n_unique, n_unique > cap
+
+
 @partial(jax.jit, static_argnames=("k", "w"))
 def window_mins_jax(codes, lengths, *, k: int, w: int):
     """Window minima without emission compaction (build-side fast path).

@@ -98,3 +98,41 @@ def test_duplicate_emission_multiplicity():
     codes, lengths = encode_seqs([seq])
     h, n = minimizers_jax(codes, lengths, k=4, w=8, max_minimizers=64)
     assert np.asarray(n)[0] == len(minimizers_golden(seq, k=4, w=8))
+
+
+def test_window_mins_unique_matches_full_path():
+    import numpy as np
+    import jax.numpy as jnp
+    from ganon_tpu.ops.minimizers import (
+        encode_seqs,
+        window_mins_jax,
+        window_mins_unique_jax,
+    )
+
+    rng = np.random.default_rng(7)
+    seqs = [
+        "".join("ACGT"[c] for c in rng.integers(0, 4, size=n))
+        for n in (500, 123, 64, 31, 30)
+    ]
+    codes, lengths = encode_seqs(seqs, max_len=512)
+    k, w = 19, 31
+    mv, valid = window_mins_jax(codes, lengths, k=k, w=w)
+    mv, valid = np.asarray(mv), np.asarray(valid)
+    vals, n, ovf = window_mins_unique_jax(codes, lengths, k=k, w=w, cap=256)
+    vals, n, ovf = np.asarray(vals), np.asarray(n), np.asarray(ovf)
+    for i in range(len(seqs)):
+        expect = np.unique(mv[i][valid[i]])
+        assert not ovf[i]
+        assert n[i] == len(expect)
+        np.testing.assert_array_equal(vals[i, : n[i]], expect)
+
+
+def test_window_mins_unique_overflow_flag():
+    import numpy as np
+    from ganon_tpu.ops.minimizers import encode_seqs, window_mins_unique_jax
+
+    rng = np.random.default_rng(8)
+    seq = "".join("ACGT"[c] for c in rng.integers(0, 4, size=1024))
+    codes, lengths = encode_seqs([seq])
+    vals, n, ovf = window_mins_unique_jax(codes, lengths, k=19, w=31, cap=16)
+    assert bool(np.asarray(ovf)[0])
