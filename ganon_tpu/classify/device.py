@@ -308,20 +308,55 @@ def unpack_batch_result(packed: np.ndarray, B: int, K: int, T: int,
 
 
 class DeviceFilter:
-    """An IBF resident on device, ready for batched counting."""
+    """An IBF resident on device, ready for batched counting.
 
-    def __init__(self, ibf, device=None):
+    With ``mesh`` (a 2-D ``(batch, bins)`` jax Mesh) the u8 table is
+    column-sharded over the ``bins`` axis and inputs are expected
+    batch-sharded: the gather + popcount + per-byte reduction stay
+    shard-local and GSPMD inserts the small all_gather of per-byte
+    counts before the target segment sum (the collective the reference
+    never needed single-host — SURVEY §2.1).
+    """
+
+    def __init__(self, ibf, device=None, mesh=None):
         self.ibf_config = ibf.ibf_config
         self.targets = ibf.targets()
         self.num_targets = len(self.targets)
+        self.mesh = mesh
+        self.batch_mult = 1
         b2t = ibf.bin_to_target_ids()
         tbl8, byte_starts, byte_ends = pack_table_u8(
             ibf.bits, b2t, self.num_targets
         )
-        self.tbl8 = jnp.asarray(tbl8)
-        self.byte_starts = jnp.asarray(byte_starts)
-        self.byte_ends = jnp.asarray(byte_ends)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            nb = mesh.shape["bins"]
+            self.batch_mult = mesh.shape["batch"]
+            W8 = tbl8.shape[1]
+            W8_pad = -(-W8 // nb) * nb
+            if W8_pad != W8:
+                tbl8 = np.pad(tbl8, ((0, 0), (0, W8_pad - W8)))
+            self.tbl8 = jax.device_put(
+                tbl8, NamedSharding(mesh, P(None, "bins"))
+            )
+            rep = NamedSharding(mesh, P())
+            self.byte_starts = jax.device_put(jnp.asarray(byte_starts), rep)
+            self.byte_ends = jax.device_put(jnp.asarray(byte_ends), rep)
+        else:
+            self.tbl8 = jnp.asarray(tbl8)
+            self.byte_starts = jnp.asarray(byte_starts)
+            self.byte_ends = jnp.asarray(byte_ends)
         self.target_fpr = ibf.target_fpr()
+
+    def put_batch(self, arr):
+        """Device-put a [B, ...] host array, batch-sharded when meshed."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P("batch", *([None] * (arr.ndim - 1)))
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
     def counts(self, hashes, mask, n_hashes) -> np.ndarray:
         return filter_counts_u8(
@@ -480,11 +515,13 @@ class DeviceRaptorHIBF:
         return out
 
 
-def load_device_filter(path: str):
+def load_device_filter(path: str, mesh=None):
     """Open an .ibf or .hibf file as a device-resident filter.
 
     ``.hibf`` files are auto-detected: raptor cereal index (the files the
-    reference builds through raptor) or our native npz forest.
+    reference builds through raptor) or our native npz forest. ``mesh``
+    shards plain IBFs over a (batch, bins) device mesh (HIBF forests
+    stay single-device for now).
     """
     from ganon_tpu.index.ibf import IBF
     from ganon_tpu.index.hibf import HIBF, RaptorHIBF
@@ -496,7 +533,7 @@ def load_device_filter(path: str):
         if not zipfile.is_zipfile(path) and serialize.is_raptor_hibf(path):
             return DeviceRaptorHIBF(RaptorHIBF.load(path))
         return DeviceHIBF(HIBF.load(path))
-    return DeviceFilter(IBF.load(path))
+    return DeviceFilter(IBF.load(path), mesh=mesh)
 
 
 def batch_to_device(batch, w: int, batch_pad: int):

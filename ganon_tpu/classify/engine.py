@@ -69,6 +69,7 @@ class ClassifyConfig:
     hashes_limit: int = 65535  # uint16 counter limit; raise for long reads
     device_thresholding: bool = True  # on-device cutoff/filter + top-K
     top_k_matches: int = 128  # compact output width (falls back if exceeded)
+    use_mesh: bool = True  # shard over all devices when more than one
     quiet: bool = True
     verbose: bool = False
 
@@ -237,13 +238,13 @@ class Rep:
 class LevelContext:
     """Loaded filters + union target table + LCA for one hierarchy level."""
 
-    def __init__(self, level: HierarchyLevel, cfg: ClassifyConfig):
+    def __init__(self, level: HierarchyLevel, cfg: ClassifyConfig, mesh=None):
         self.level = level
         self.filters: list[dev.DeviceFilter] = []
         self.specs = level.filters
         taxes = []
         for spec in level.filters:
-            self.filters.append(dev.load_device_filter(spec.ibf_file))
+            self.filters.append(dev.load_device_filter(spec.ibf_file, mesh))
             if spec.tax_file:
                 taxes.append(load_tax(spec.tax_file))
         k = self.filters[0].ibf_config.kmer_size
@@ -317,6 +318,23 @@ def run_classify(cfg: ClassifyConfig) -> dict:
     reads_config = parse_reads_config(cfg)
     prefixes = list(reads_config.keys())
 
+    # multi-chip: shard filters (bins) and read batches (batch) over the
+    # available devices; single device keeps the plain path
+    mesh = None
+    if getattr(cfg, "use_mesh", True):
+        import jax
+
+        if len(jax.devices()) > 1:
+            from ganon_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            if not cfg.quiet:
+                print(
+                    f" - device mesh {dict(mesh.shape)} over "
+                    f"{mesh.size} devices",
+                    file=sys.stderr,
+                )
+
     totals: dict[str, Total] = {p: Total() for p in prefixes}
     hierarchy_totals: dict[str, dict[str, Total]] = {
         lbl: {p: Total() for p in prefixes} for lbl in levels
@@ -336,7 +354,7 @@ def run_classify(cfg: ClassifyConfig) -> dict:
         level = levels[label]
         first = li == 0
         last = li == len(level_labels) - 1
-        ctx = LevelContext(level, cfg)
+        ctx = LevelContext(level, cfg, mesh)
         rep: dict[tuple[str, str], Rep] = {}
         next_leftovers: list[ReadBatch] = []
 
@@ -460,7 +478,7 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
     pack16 = f.num_targets <= 0xFFFF and cfg.hashes_limit <= 0xFFFF
     inbuf = dev.pack_batch_input(codes1, len1, codes2, len2)
     packed = dev.classify_batch_packed(
-        f.tbl8, f.byte_starts, f.byte_ends, jnp.asarray(inbuf),
+        f.tbl8, f.byte_starts, f.byte_ends, f.put_batch(inbuf),
         ctx.specs[0].rel_cutoff, ctx.level.rel_filter, cfg.hashes_limit,
         k=ctx.kmer_size, w=w, L1=codes1.shape[1],
         L2=codes2.shape[1] if codes2 is not None else 0,

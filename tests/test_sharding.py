@@ -55,3 +55,54 @@ def test_graft_entry():
     assert counts.shape[0] == args[3].shape[0]  # batch of codes
 
     mod.dryrun_multichip(len(jax.devices()))
+
+
+def test_engine_mesh_outputs_match_single_device(tmp_path):
+    """Full engine run over the 8-device mesh == single-device outputs."""
+    import numpy as np
+
+    from ganon_tpu.index.ibf import build_ibf
+    from ganon_tpu.classify.engine import ClassifyConfig, run_classify
+
+    rng = np.random.default_rng(3)
+    genomes = {
+        f"T{i}": rng.integers(0, 4, size=20000, dtype=np.uint8)
+        for i in range(5)
+    }
+    from ganon_tpu.ops.minimizers import window_mins_jax
+
+    th = {}
+    for t, g in genomes.items():
+        mv, valid = window_mins_jax(
+            g[None, :], np.asarray([len(g)], dtype=np.int32), k=19, w=31
+        )
+        th[t] = np.unique(np.asarray(mv)[np.asarray(valid)])
+    ibf = build_ibf(th, kmer_size=19, window_size=31, max_fp=0.05)
+    db = tmp_path / "db.ibf"
+    ibf.save(str(db))
+
+    reads = tmp_path / "reads.fq"
+    with open(reads, "w") as f:
+        for i in range(300):
+            t = f"T{i % 5}"
+            s = rng.integers(0, len(genomes[t]) - 150)
+            seq = "".join("ACGT"[c] for c in genomes[t][s : s + 150])
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * 150}\n")
+
+    outs = {}
+    for tag, use_mesh in (("mesh", True), ("single", False)):
+        prefix = str(tmp_path / tag)
+        cfg = ClassifyConfig(
+            ibf=[str(db)],
+            single_reads=[str(reads)],
+            output_prefix=prefix,
+            output_all=True,
+            output_unclassified=True,
+            use_mesh=use_mesh,
+        )
+        run_classify(cfg)
+        outs[tag] = {
+            ext: sorted(open(prefix + ext).read().splitlines())
+            for ext in (".rep", ".all", ".unc")
+        }
+    assert outs["mesh"] == outs["single"]
