@@ -174,11 +174,18 @@ class _HashExtractor:
         step = CHUNK - (self.w - 1)
         for s in range(0, max(len(seq) - self.w + 1, 1), step):
             piece = seq[s : s + CHUNK]
-            L = CHUNK if len(piece) == CHUNK else _bucket(len(piece))
-            buf = self.bufs.setdefault(L, [])
-            buf.append((key, piece))
-            if len(buf) >= PIECES_PER_BATCH:
-                self._submit(L)
+            enc, _ = encode_seqs([piece], max_len=len(piece))
+            self.add_encoded(key, enc[0])
+
+    def add_encoded(self, key, row: np.ndarray) -> None:
+        """Add one dna4-encoded piece (uint8 [n], n <= CHUNK)."""
+        if len(row) < self.w:
+            return
+        L = CHUNK if len(row) == CHUNK else _bucket(len(row))
+        buf = self.bufs.setdefault(L, [])
+        buf.append((key, row))
+        if len(buf) >= PIECES_PER_BATCH:
+            self._submit(L)
 
     def _submit(self, L: int) -> None:
         from ganon_tpu.classify.device import pack_codes_2bit
@@ -186,7 +193,11 @@ class _HashExtractor:
         buf = self.bufs.pop(L, [])
         if not buf:
             return
-        codes, lengths = encode_seqs([p for _, p in buf], max_len=L)
+        codes = np.zeros((len(buf), L), dtype=np.uint8)
+        lengths = np.zeros((len(buf),), dtype=np.int32)
+        for i, (_, row) in enumerate(buf):
+            codes[i, : len(row)] = row
+            lengths[i] = len(row)
         cap = _unique_cap(L)
         packed = _extract_packed(
             pack_codes_2bit(codes), jnp.asarray(lengths),
@@ -253,19 +264,45 @@ def count_target_hashes(
     """
     stats = stats if stats is not None else BuildStats()
     ex = _HashExtractor(kmer_size, window_size)
+    use_native = min_length < CHUNK
+    if use_native:
+        try:
+            from ganon_tpu.native import NativeSeqReader
+
+            use_native = NativeSeqReader.available()
+        except Exception:
+            use_native = False
     file_keys: dict[str, list] = {}
     for target, files in input_map.items():
         file_keys[target] = []
         for fi, path in enumerate(files):
             key = (target, fi)
             file_keys[target].append(key)
-            for _id, seq in SequenceReader(path):
-                if len(seq) < min_length:
-                    stats.skipped_sequences += 1
-                    continue
-                stats.sequences += 1
-                stats.length_bp += len(seq)
-                ex.add(key, seq)
+            from ganon_tpu.io.pipeline import native_supported
+
+            if use_native and native_supported(path):
+                # C++ parse + chunk + dna4-encode in one pass
+                reader = NativeSeqReader(path)
+                while True:
+                    codes, lens, (seqs, skipped, bp) = reader.next_pieces(
+                        PIECES_PER_BATCH, CHUNK, window_size - 1, min_length
+                    )
+                    stats.sequences += seqs - skipped
+                    stats.skipped_sequences += skipped
+                    stats.length_bp += bp
+                    if not len(codes):
+                        break
+                    for i in range(len(codes)):
+                        ex.add_encoded(key, codes[i, : lens[i]])
+                reader.close()
+            else:
+                for _id, seq in SequenceReader(path):
+                    if len(seq) < min_length:
+                        stats.skipped_sequences += 1
+                        continue
+                    stats.sequences += 1
+                    stats.length_bp += len(seq)
+                    ex.add(key, seq)
     per_file = ex.finish()
     out: dict[str, np.ndarray] = {}
     for target, keys in file_keys.items():

@@ -111,9 +111,17 @@ def _python_batches(file1, file2, prefix, n_reads):
         yield b
 
 
+def native_supported(*paths) -> bool:
+    """The C++ reader handles plain and gzip files (zlib); bz2/xz need
+    the Python reader."""
+    return not any(
+        p and (p.endswith(".bz2") or p.endswith(".xz")) for p in paths
+    )
+
+
 def encoded_batches(file1, file2, prefix, n_reads, use_native=True):
     """Yield EncodedBatch from a read file (pair); native parser if built."""
-    if use_native:
+    if use_native and native_supported(file1, file2):
         try:
             from ganon_tpu.native import NativeSeqReader
 

@@ -58,6 +58,12 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_char_p, ctypes.c_int64,
     ]
+    lib.seqio_next_pieces.restype = ctypes.c_int64
+    lib.seqio_next_pieces.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return lib
 
@@ -96,6 +102,28 @@ class NativeSeqReader:
             return [], codes[:0], lengths[:0]
         ids = ids_buf.value.decode(errors="replace").split("\n")[:n]
         return ids, codes[:n], lengths[:n]
+
+    def next_pieces(self, max_pieces: int, chunk_len: int, overlap: int,
+                    min_len: int = 0):
+        """Encoded sequence pieces for index construction.
+
+        Long sequences are chunked to ``chunk_len`` with ``overlap``
+        carried bases; sequences shorter than ``min_len`` are skipped.
+        Returns (codes uint8 [n, chunk_len], lens int32 [n],
+        stats (seqs, skipped, bp) deltas). n == 0 signals EOF.
+        """
+        codes = np.zeros((max_pieces, chunk_len), dtype=np.uint8)
+        lens = np.zeros((max_pieces,), dtype=np.int32)
+        stats = np.zeros((3,), dtype=np.int64)
+        n = self._lib.seqio_next_pieces(
+            self._h, max_pieces, chunk_len, overlap, min_len,
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if n < 0:
+            raise IOError("native seqio read error")
+        return codes[:n], lens[:n], tuple(int(s) for s in stats)
 
     def close(self):
         if self._h:

@@ -23,6 +23,13 @@ struct Reader {
     std::string pending;          // lookahead line (fasta headers)
     bool has_pending = false;
     std::vector<char> buf;
+    // piece-streaming state (seqio_next_pieces)
+    std::string seqbuf;           // unemitted tail of the current sequence
+    bool mid_seq = false;         // inside a sequence spanning calls
+    bool seq_complete = false;    // no more lines belong to this sequence
+    bool emitted_any = false;     // pieces already emitted for current seq
+    int64_t cur_len = 0;          // bases seen of the current sequence
+    int64_t n_seqs = 0, n_skipped = 0, total_bp = 0;
 
     bool getline(std::string& out) {
         if (has_pending) {
@@ -151,6 +158,102 @@ int64_t seqio_next_batch(void* handle, int64_t max_reads, int64_t max_len,
         ++count;
     }
     if (ids_len < ids_cap) ids_buf[ids_len] = '\0';
+    return count;
+}
+
+// Stream encoded sequence pieces for index construction: long sequences
+// are chunked to chunk_len with `overlap` bases carried between
+// consecutive pieces (so every k-mer window is covered exactly once);
+// sequences shorter than min_len are skipped (min_len must be <=
+// chunk_len — longer sequences are always kept). Writes dna4 codes into
+// codes[max_pieces x chunk_len] and true piece lengths into lens.
+// Returns pieces written (0 = EOF). stats[0..2] += sequences read,
+// sequences skipped, total bases.
+int64_t seqio_next_pieces(void* handle, int64_t max_pieces,
+                          int64_t chunk_len, int64_t overlap,
+                          int64_t min_len, uint8_t* codes, int32_t* lens,
+                          int64_t* stats) {
+    auto* r = static_cast<Reader*>(handle);
+    if (!r || overlap >= chunk_len) return -1;
+    int64_t count = 0;
+    std::string line, header;
+    auto emit = [&](const std::string& s, int64_t take) {
+        uint8_t* row = codes + count * chunk_len;
+        for (int64_t i = 0; i < take; ++i)
+            row[i] = g_lut[(unsigned char)s[i]];
+        if (take < chunk_len)
+            std::memset(row + take, 0, chunk_len - take);
+        lens[count] = (int32_t)take;
+        ++count;
+    };
+    while (count < max_pieces) {
+        if (!r->mid_seq) {
+            if (!r->getline(header) || header.empty()) {
+                if (r->eof) break;
+                continue;
+            }
+            r->mid_seq = true;
+            r->seq_complete = false;
+            r->emitted_any = false;
+            r->seqbuf.clear();
+            r->cur_len = 0;
+            if (r->fastq) {
+                r->getline(r->seqbuf);
+                r->cur_len = (int64_t)r->seqbuf.size();
+                r->getline(line);  // +
+                r->getline(line);  // qual
+                r->seq_complete = true;
+            }
+        }
+        // emit full pieces / accumulate lines until sequence end
+        for (;;) {
+            if ((int64_t)r->seqbuf.size() >= chunk_len) {
+                if (count >= max_pieces) return count;  // resume later
+                emit(r->seqbuf, chunk_len);
+                r->emitted_any = true;
+                r->seqbuf.erase(0, chunk_len - overlap);
+                continue;
+            }
+            if (r->seq_complete) break;
+            if (!r->getline(line)) {  // EOF
+                r->seq_complete = true;
+                continue;
+            }
+            if (!line.empty() && line[0] == '>') {
+                r->pending = std::move(line);
+                r->has_pending = true;
+                r->seq_complete = true;
+                continue;
+            }
+            r->seqbuf.append(line);
+            r->cur_len += (int64_t)line.size();
+        }
+        if (!r->seqbuf.empty() && count >= max_pieces)
+            return count;  // tail needs a slot; finish on the next call
+        r->mid_seq = false;
+        ++r->n_seqs;
+        if (!r->emitted_any && r->cur_len < min_len) {
+            ++r->n_skipped;
+            r->seqbuf.clear();
+            continue;
+        }
+        r->total_bp += r->cur_len;
+        if (!r->seqbuf.empty()) {
+            // tail piece (or whole short sequence); a tail no longer
+            // than the overlap adds no new window when pieces were
+            // already emitted
+            if (!(r->emitted_any &&
+                  (int64_t)r->seqbuf.size() <= overlap))
+                emit(r->seqbuf, (int64_t)r->seqbuf.size());
+            r->seqbuf.clear();
+        }
+    }
+    if (stats) {
+        stats[0] += r->n_seqs;
+        stats[1] += r->n_skipped;
+        stats[2] += r->total_bp;
+        r->n_seqs = r->n_skipped = r->total_bp = 0;
+    }
     return count;
 }
 

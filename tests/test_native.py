@@ -81,3 +81,63 @@ def test_batching(tmp_path):
         seen.extend(ids)
         assert (lengths == 40).all()
     assert seen == [f"r{i}" for i in range(25)]
+
+
+def test_next_pieces_matches_python_reader(tmp_path):
+    """Native piece streaming == python chunking for mixed-length fasta."""
+    import gzip
+
+    import numpy as np
+
+    from ganon_tpu.native import NativeSeqReader
+    from ganon_tpu.io.sequence import SequenceReader
+    from ganon_tpu.ops.minimizers import encode_seqs
+
+    if not NativeSeqReader.available():
+        import pytest
+
+        pytest.skip("no compiler")
+
+    rng = np.random.default_rng(5)
+    CH, OV = 4096, 30
+    seqs = [
+        "".join("ACGT"[c] for c in rng.integers(0, 4, size=n))
+        for n in (10000, 4096, 4095, 100, 31, 30, 12000)
+    ]
+    path = tmp_path / "mix.fna.gz"
+    with gzip.open(path, "wt") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">s{i}\n")
+            for j in range(0, len(s), 70):
+                f.write(s[j : j + 70] + "\n")
+
+    # python reference chunking
+    expect = []
+    for _id, s in SequenceReader(str(path)):
+        if len(s) < 31:  # min_len
+            continue
+        step = CH - OV
+        for st in range(0, max(len(s) - OV, 1), step):
+            piece = s[st : st + CH]
+            if len(piece) <= OV and st > 0:
+                continue
+            enc, _ = encode_seqs([piece], max_len=len(piece))
+            expect.append(enc[0])
+
+    got = []
+    r = NativeSeqReader(str(path))
+    tot = [0, 0, 0]
+    while True:
+        codes, lens, st = r.next_pieces(3, CH, OV, 31)
+        for a, b in zip(tot, st):
+            pass
+        tot = [a + b for a, b in zip(tot, st)]
+        if not len(codes):
+            break
+        for i in range(len(codes)):
+            got.append(codes[i, : lens[i]])
+    assert tot[0] == len(seqs)
+    assert tot[1] == 1  # the 30bp sequence skipped
+    assert len(got) == len(expect)
+    for g, e in zip(got, expect):
+        np.testing.assert_array_equal(g, e)
