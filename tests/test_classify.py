@@ -353,3 +353,103 @@ def test_short_reads_skipped(tmp_path):
     stats = run_classify(cfg)
     assert stats["totals"][""].seqs_skipped_small == 1
     assert [r[0] for r in read_tsv(out_prefix + ".unc")] == ["tiny"]
+
+
+def _mk_db(tmp_path, name, targets, rng, glen=8000):
+    import numpy as np
+
+    from ganon_tpu.index.ibf import build_ibf
+    from ganon_tpu.ops.minimizers import window_mins_jax
+
+    genomes, th = {}, {}
+    for t in targets:
+        g = rng.integers(0, 4, size=glen, dtype=np.uint8)
+        genomes[t] = g
+        mv, valid = window_mins_jax(
+            g[None, :], np.asarray([glen], dtype=np.int32), k=19, w=31
+        )
+        th[t] = np.unique(np.asarray(mv)[np.asarray(valid)])
+    ibf = build_ibf(th, kmer_size=19, window_size=31, max_fp=0.05)
+    path = tmp_path / f"{name}.ibf"
+    ibf.save(str(path))
+    return str(path), genomes
+
+
+def _mk_reads(tmp_path, name, genomes, rng, n=120, L=150):
+    reads = tmp_path / f"{name}.fq"
+    keys = list(genomes)
+    with open(reads, "w") as f:
+        for i in range(n):
+            g = genomes[keys[i % len(keys)]]
+            s = rng.integers(0, len(g) - L)
+            seq = "".join("ACGT"[c] for c in g[s : s + L])
+            f.write(f"@r{name}{i}\n{seq}\n+\n{'I' * L}\n")
+    return str(reads)
+
+
+def test_multi_db_single_level(tmp_path):
+    """Two databases on one hierarchy level: per-read max across filters."""
+    import numpy as np
+
+    from ganon_tpu.classify.engine import ClassifyConfig, run_classify
+
+    rng = np.random.default_rng(11)
+    db1, g1 = _mk_db(tmp_path, "db1", ["A", "B"], rng)
+    db2, g2 = _mk_db(tmp_path, "db2", ["C", "D"], rng)
+    reads = _mk_reads(tmp_path, "r", {**g1, **g2}, rng)
+    prefix = str(tmp_path / "out")
+    cfg = ClassifyConfig(
+        ibf=[db1, db2],
+        single_reads=[reads],
+        output_prefix=prefix,
+        output_all=True,
+        rel_cutoff=[0.25],
+    )
+    run_classify(cfg)
+    rep = [ln.split("\t") for ln in open(prefix + ".rep") if not
+           ln.startswith("#")]
+    matched = {r[1] for r in rep}
+    # reads drawn from all four targets must match in both databases
+    assert {"A", "B", "C", "D"} <= matched
+    allm = [ln.split("\t") for ln in open(prefix + ".all")]
+    assert len({r[0] for r in allm}) > 100  # most reads classified
+
+
+def test_batch_reads_matches_single(tmp_path):
+    """--batch-reads == the same files classified as --single-reads."""
+    import numpy as np
+
+    from ganon_tpu.classify.engine import ClassifyConfig, run_classify
+
+    rng = np.random.default_rng(12)
+    db, genomes = _mk_db(tmp_path, "db", ["A", "B", "C"], rng)
+    r1 = _mk_reads(tmp_path, "s1", genomes, rng, n=80)
+    r2 = _mk_reads(tmp_path, "s2", genomes, rng, n=60)
+
+    single_all = []
+    for i, r in enumerate((r1, r2)):
+        pref_single = str(tmp_path / f"single{i}_")
+        cfg = ClassifyConfig(
+            ibf=[db], single_reads=[r], output_prefix=pref_single,
+            output_all=True, rel_cutoff=[0.25],
+        )
+        run_classify(cfg)
+        single_all.extend(open(pref_single + ".all"))
+
+    batch_tsv = tmp_path / "batch.tsv"
+    with open(batch_tsv, "w") as f:
+        f.write(f"b1\t{r1}\nb2\t{r2}\n")
+    pref_batch = str(tmp_path / "batch_")
+    cfg = ClassifyConfig(
+        ibf=[db], batch_reads=[str(batch_tsv)], output_prefix=pref_batch,
+        output_all=True, rel_cutoff=[0.25],
+    )
+    run_classify(cfg)
+
+    # batch mode emits per-prefix outputs; their union must equal the
+    # single-file runs' outputs (reference asserts the same equivalence,
+    # GanonClassify.test.cpp:399-424)
+    batch_all = sorted(
+        ln for p in ("b1", "b2") for ln in open(pref_batch + p + ".all")
+    )
+    assert batch_all == sorted(single_all)
