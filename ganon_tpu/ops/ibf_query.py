@@ -215,11 +215,15 @@ def bulk_target_counts_u8(tbl8, rows, hash_mask, byte_starts, byte_ends):
     ``counts[b, t] = sum_m popcount(AND_s tbl8[rows[b,m,s],
     byte_starts[t]:byte_ends[t]])`` — gather + AND + byte popcount + one
     prefix sum over the byte axis. No 32x bit-plane expansion.
+
+    One gather per hash function (ANDed pairwise) instead of a joint
+    [B, M, S] gather: in the fused classify program the joint form costs
+    an extra layout copy of the 4x larger gathered array (~1 ms/batch,
+    measured on v5e — see docs/perf_notes.md).
     """
-    gathered = tbl8[rows]  # [B, M, S, W8]
-    member = gathered[:, :, 0, :]
+    member = tbl8[rows[:, :, 0]]  # [B, M, W8]
     for s in range(1, rows.shape[2]):
-        member = member & gathered[:, :, s, :]
+        member = member & tbl8[rows[:, :, s]]
     member = jnp.where(hash_mask[:, :, None], member, jnp.uint8(0))
     pc = _popcount_u8(member).astype(jnp.int32)  # [B, M, W8]
     cw = jnp.sum(pc, axis=1)  # [B, W8]

@@ -73,10 +73,9 @@ def _classify_step(
     hashes, mask, n_hashes = minimizers_masked_jax(codes, lengths, k=k, w=w)
     hashes, mask = hashes[:, :m1], mask[:, :m1]
     rows = ibf_row_indices(hashes, bin_size=bin_size, hash_functions=hash_functions)
-    gathered = tbl8[rows]  # [B, M, S, W8] — W8 sharded over bins
-    member = gathered[:, :, 0, :]
+    member = tbl8[rows[:, :, 0]]  # [B, M, W8] — W8 sharded over bins
     for s in range(1, rows.shape[2]):
-        member = member & gathered[:, :, s, :]
+        member = member & tbl8[rows[:, :, s]]
     member = jnp.where(mask[:, :, None], member, jnp.uint8(0))
     pc = _popcount_u8(member).astype(jnp.int32)
     cw = jnp.sum(pc, axis=1)  # [B, W8] — shard-local reduction
