@@ -123,10 +123,9 @@ def bulk_count_bins(bits, rows, hash_mask):
     whose S rows are all set for the bin).
     """
     n_words = bits.shape[1]
-    gathered = bits[rows]  # [B, M, S, W]
-    member = gathered[:, :, 0, :]
+    member = bits[rows[:, :, 0]]  # [B, M, W]
     for s in range(1, rows.shape[2]):
-        member = member & gathered[:, :, s, :]
+        member = member & bits[rows[:, :, s]]
     member = jnp.where(hash_mask[:, :, None], member, jnp.uint32(0))  # [B, M, W]
     # bit-plane accumulation: counts[b, w*32 + bit] = sum_m (member >> bit) & 1
     shifts = jnp.arange(32, dtype=jnp.uint32)
@@ -314,10 +313,9 @@ def bulk_target_counts(bits, rows, hash_mask, starts, ends, perm=None):
     Returns int32 ``[B, T]``.
     """
     n_words = bits.shape[1]
-    gathered = bits[rows]  # [B, M, S, W]
-    member = gathered[:, :, 0, :]
+    member = bits[rows[:, :, 0]]  # [B, M, W]
     for s in range(1, rows.shape[2]):
-        member = member & gathered[:, :, s, :]
+        member = member & bits[rows[:, :, s]]
     member = jnp.where(hash_mask[:, :, None], member, jnp.uint32(0))
     shifts = jnp.arange(32, dtype=jnp.uint32)
     planes = ((member[:, :, :, None] >> shifts) & jnp.uint32(1)).astype(
