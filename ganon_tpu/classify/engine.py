@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time as _time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -313,6 +314,7 @@ class _Out:
 
 def run_classify(cfg: ClassifyConfig) -> dict:
     """Run the full classification; returns collected stats (for tests)."""
+    t_start = _time.monotonic()
     cfg.validate()
     levels = parse_hierarchy(cfg)
     reads_config = parse_reads_config(cfg)
@@ -448,7 +450,7 @@ def run_classify(cfg: ClassifyConfig) -> dict:
         _write_stats(cfg, totals, hierarchy_totals, levels, prefixes)
 
     if not cfg.quiet:
-        _print_stats(totals)
+        _print_stats(totals, elapsed=_time.monotonic() - t_start)
 
     return {
         "totals": totals,
@@ -900,12 +902,23 @@ def _write_stats(cfg, totals, hierarchy_totals, levels, prefixes):
                 row(total, "-total-")
 
 
-def _print_stats(totals):
+def _print_stats(totals, elapsed: float = 0.0):
     for p, t in totals.items():
         sp = float(t.seqs_processed) if t.seqs_processed else 1.0
         print(
             f"{'[' + p + '] ' if p else ''}{t.seqs_classified} sequences "
             f"classified ({t.seqs_classified / sp * 100:.2f}%), "
             f"{t.seqs_unique} unique, {t.matches} matches",
+            file=sys.stderr,
+        )
+    if elapsed > 0:
+        bp = sum(t.length_processed for t in totals.values())
+        seqs = sum(t.seqs_processed for t in totals.values())
+        # reference prints the same Mbp/m figure (GanonClassify.cpp:1091)
+        print(
+            f"ganon-tpu classify processed {seqs} sequences "
+            f"({bp / 1e6:.2f} Mbp) in {elapsed:.3f}s "
+            f"({bp / 1e6 / (elapsed / 60):.1f} Mbp/m, "
+            f"{seqs / elapsed:,.0f} reads/s)",
             file=sys.stderr,
         )
