@@ -344,7 +344,20 @@ class DeviceFilter:
             self.byte_starts = jax.device_put(jnp.asarray(byte_starts), rep)
             self.byte_ends = jax.device_put(jnp.asarray(byte_ends), rep)
         else:
-            self.tbl8 = jnp.asarray(tbl8)
+            # commit the table row-major: the default committed layout is
+            # column-major, which costs a relayout copy in every batch
+            try:
+                from jax.experimental.layout import Format, Layout
+
+                self.tbl8 = jax.device_put(
+                    tbl8,
+                    Format(
+                        Layout((1, 0)),
+                        jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+                    ),
+                )
+            except Exception:
+                self.tbl8 = jnp.asarray(tbl8)
             self.byte_starts = jnp.asarray(byte_starts)
             self.byte_ends = jnp.asarray(byte_ends)
         self.target_fpr = ibf.target_fpr()
