@@ -17,6 +17,16 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
+# An environment sitecustomize may force-select a platform via jax.config
+# (which silently beats the JAX_PLATFORMS env var). If the user set
+# JAX_PLATFORMS explicitly, honor it.
+_env_platforms = _os.environ.get("JAX_PLATFORMS")
+if _env_platforms and (_jax.config.jax_platforms or "") != _env_platforms:
+    try:
+        _jax.config.update("jax_platforms", _env_platforms)
+    except Exception:
+        pass
+
 # Persistent compilation cache: the CLI is a short-lived process, so
 # without this every `ganon-tpu build`/`classify` invocation recompiles
 # every kernel (tens of seconds per shape). Opt out with
