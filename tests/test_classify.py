@@ -453,3 +453,37 @@ def test_batch_reads_matches_single(tmp_path):
         ln for p in ("b1", "b2") for ln in open(pref_batch + p + ".all")
     )
     assert batch_all == sorted(single_all)
+
+
+def test_hashes_limit_skips_big_reads(tmp_path):
+    """Reads with more minimizers than hashes_limit are skipped as 'big'
+    (reference LONGREADS semantics: GanonClassify.cpp:705,739-741) and
+    classified when the limit is raised."""
+    import numpy as np
+
+    from ganon_tpu.classify.engine import ClassifyConfig, run_classify
+
+    rng = np.random.default_rng(13)
+    db, genomes = _mk_db(tmp_path, "db", ["A"], rng, glen=30000)
+    g = genomes["A"]
+    long_read = "".join("ACGT"[c] for c in g[:20000])
+    reads = tmp_path / "long.fq"
+    with open(reads, "w") as f:
+        f.write(f"@long\n{long_read}\n+\n{'I' * len(long_read)}\n")
+
+    outs = {}
+    for tag, limit in (("small", 500), ("big", 65535)):
+        prefix = str(tmp_path / tag)
+        cfg = ClassifyConfig(
+            ibf=[db], single_reads=[str(reads)], output_prefix=prefix,
+            output_all=True, rel_cutoff=[0.25], hashes_limit=limit,
+            output_unclassified=True,
+        )
+        res = run_classify(cfg)
+        outs[tag] = res["totals"][""]
+
+    # a 20kb read emits ~2800 minimizers: over the 500 limit, under 65535
+    assert outs["small"].seqs_skipped_big == 1
+    assert outs["small"].seqs_classified == 0
+    assert outs["big"].seqs_skipped_big == 0
+    assert outs["big"].seqs_classified == 1
