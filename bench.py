@@ -138,9 +138,12 @@ def main():
     # transfer the warmup total: on the tunneled device block_until_ready
     # alone does not reliably fence execution
     int(run_all(tbl8, bstarts, bends, j1, j2, jl))  # compile + fence
-    t0 = time.time()
-    total = int(run_all(tbl8, bstarts, bends, j1, j2, jl))
-    elapsed = time.time() - t0
+    # tunnel throughput varies run to run; report the best of 3 passes
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        total = int(run_all(tbl8, bstarts, bends, j1, j2, jl))
+        elapsed = min(elapsed, time.time() - t0)
 
     total_reads = BATCH * N_BATCHES
     reads_per_sec = total_reads / elapsed
