@@ -226,11 +226,28 @@ def bulk_target_counts_u8(tbl8, rows, hash_mask, byte_starts, byte_ends):
     member = jnp.where(hash_mask[:, :, None], member, jnp.uint8(0))
     pc = _popcount_u8(member).astype(jnp.int32)  # [B, M, W8]
     cw = jnp.sum(pc, axis=1)  # [B, W8]
-    cs = jnp.concatenate(
-        [jnp.zeros((cw.shape[0], 1), cw.dtype), jnp.cumsum(cw, axis=1)],
-        axis=1,
+    return _segment_matmul(cw, byte_starts, byte_ends)
+
+
+def _segment_matmul(cw, byte_starts, byte_ends):
+    """Per-target segment sum of per-byte counts as an MXU matmul.
+
+    ``counts[b, t] = sum_{bs[t] <= w < be[t]} cw[b, w]``. The one-hot
+    segment matrix is built in-kernel from the byte ranges and fuses
+    away; the contraction runs on the MXU. Replaces the prefix-sum
+    formulation: XLA lowers wide cumsums to reduce-window, which
+    measured 4.7 ms/batch at W8=256 (T=256 targets) vs ~0 for the
+    matmul. Exact: counts < 2^24 in f32.
+    """
+    W8 = cw.shape[1]
+    w_idx = jnp.arange(W8, dtype=jnp.int32)[:, None]  # [W8, 1]
+    seg = (
+        (w_idx >= byte_starts[None, :]) & (w_idx < byte_ends[None, :])
+    ).astype(jnp.float32)  # [W8, T]
+    out = jnp.dot(
+        cw.astype(jnp.float32), seg, preferred_element_type=jnp.float32
     )
-    return cs[:, byte_ends] - cs[:, byte_starts]
+    return out.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("max_compact",))

@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ganon_tpu.ops.minimizers import minimizers_masked_jax
 from ganon_tpu.ops.ibf_query import (
     _popcount_u8,
+    _segment_matmul,
     ibf_row_indices,
     pack_table_u8,
 )
@@ -79,11 +80,7 @@ def _classify_step(
     member = jnp.where(mask[:, :, None], member, jnp.uint8(0))
     pc = _popcount_u8(member).astype(jnp.int32)
     cw = jnp.sum(pc, axis=1)  # [B, W8] — shard-local reduction
-    cs = jnp.concatenate(
-        [jnp.zeros((cw.shape[0], 1), cw.dtype), jnp.cumsum(cw, axis=1)],
-        axis=1,
-    )
-    tc = cs[:, byte_ends] - cs[:, byte_starts]
+    tc = _segment_matmul(cw, byte_starts, byte_ends)
     return jnp.minimum(tc, n_hashes[:, None]), n_hashes
 
 
