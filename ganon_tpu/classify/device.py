@@ -271,6 +271,76 @@ def classify_batch_packed(
     return jnp.concatenate([p.astype(jnp.int32) for p in parts])
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "w", "L1", "L2", "sub_params", "top_k", "pack16",
+    ),
+)
+def classify_batch_packed_forest(
+    tbl8s, byte_startss, byte_endss, inbuf,
+    rel_cutoff, rel_filter, hashes_limit, *,
+    k: int, w: int, L1: int, L2: int,
+    sub_params: tuple,  # ((bin_size, hash_functions), ...) per sub-IBF
+    top_k: int, pack16: bool,
+):
+    """classify_batch_packed over an IBF forest (native HIBF).
+
+    Extraction/compaction run once; every sub-IBF is bulk-counted in
+    the same dispatch and the per-sub target counts concatenate in
+    global target order (sub-filters hold disjoint targets, and the
+    forest's target order is the concatenation of its subs' —
+    index.hibf.HIBF.targets). Thresholds/top-K apply to the combined
+    matrix, so a forest costs the same single RPC as a flat IBF.
+    """
+    codes1p, len1, codes2p, len2 = _unpack_batch_input(inbuf, L1, L2)
+    codes1 = unpack_codes_2bit(codes1p, L1)
+    codes2 = unpack_codes_2bit(codes2p, L2) if codes2p is not None else None
+    m1 = max(L1 - w + 1, 1)
+    m2 = max(L2 - w + 1, 1) if codes2p is not None else 0
+    hashes, mask, n_hashes = extract_hashes(
+        codes1, len1, codes2, len2, k=k, w=w, m1=m1, m2=m2
+    )
+    mc = compact_width(hashes.shape[1])
+    if mc and mc < hashes.shape[1]:
+        hashes, mask, overflow = compact_hashes(hashes, mask, max_compact=mc)
+    else:
+        overflow = jnp.zeros(hashes.shape[0], dtype=bool)
+    parts = []
+    for tbl8, bs, be, (bin_size, hash_functions) in zip(
+        tbl8s, byte_startss, byte_endss, sub_params
+    ):
+        rows = ibf_row_indices(
+            hashes, bin_size=bin_size, hash_functions=hash_functions
+        )
+        parts.append(bulk_target_counts_u8(tbl8, rows, mask, bs, be))
+    counts = jnp.minimum(
+        jnp.concatenate(parts, axis=1), n_hashes[:, None]
+    )
+    res = threshold_topk(
+        counts, n_hashes, rel_cutoff, rel_filter, hashes_limit, top_k=top_k
+    )
+    if pack16:
+        matches = [((res["top_vals"] << 16) | res["top_idx"]).ravel()]
+    else:
+        matches = [res["top_vals"].ravel(), res["top_idx"].ravel()]
+    out = matches + [
+        res["n_matches"],
+        res["max_count"],
+        n_hashes,
+        overflow.astype(jnp.int32),
+        res["matches_t"],
+        res["disc_t"],
+        res["unique_t"],
+        jnp.stack([
+            res["seqs_classified"].astype(jnp.int32),
+            res["kmers_from_classified"].astype(jnp.int32),
+            res["kmers_matches"].astype(jnp.int32),
+        ]),
+    ]
+    return jnp.concatenate([p.astype(jnp.int32) for p in out])
+
+
 def unpack_batch_result(packed: np.ndarray, B: int, K: int, T: int,
                         pack16: bool = True) -> dict:
     """Split a classify_batch_packed fetch back into the result dict."""
@@ -457,6 +527,15 @@ class DeviceHIBF:
             np.asarray([tid[t] for t in s.targets], dtype=np.int32)
             for s in self.subs
         ]
+        # by construction the global target order is the concatenation of
+        # the subs' orders; the packed forest dispatch relies on it
+        off = 0
+        self.contiguous = True
+        for cols in self.sub_cols:
+            if not np.array_equal(cols, np.arange(off, off + len(cols))):
+                self.contiguous = False
+                break
+            off += len(cols)
         self.target_fpr = hibf.target_fpr()
 
     def counts(self, hashes, mask, n_hashes) -> np.ndarray:

@@ -466,9 +466,11 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
     if len(ctx.filters) != 1 or not cfg.device_thresholding:
         return None
     f = ctx.filters[0]
-    if not isinstance(f, dev.DeviceFilter):
+    is_forest = isinstance(f, dev.DeviceHIBF) and getattr(
+        f, "contiguous", False
+    )
+    if not isinstance(f, dev.DeviceFilter) and not is_forest:
         return None
-    import jax.numpy as jnp
 
     B0 = len(batch)
     w = ctx.window_size
@@ -479,15 +481,33 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
     K = min(cfg.top_k_matches, f.num_targets)
     pack16 = f.num_targets <= 0xFFFF and cfg.hashes_limit <= 0xFFFF
     inbuf = dev.pack_batch_input(codes1, len1, codes2, len2)
-    packed = dev.classify_batch_packed(
-        f.tbl8, f.byte_starts, f.byte_ends, f.put_batch(inbuf),
-        ctx.specs[0].rel_cutoff, ctx.level.rel_filter, cfg.hashes_limit,
-        k=ctx.kmer_size, w=w, L1=codes1.shape[1],
-        L2=codes2.shape[1] if codes2 is not None else 0,
-        bin_size=f.ibf_config.bin_size_bits,
-        hash_functions=f.ibf_config.hash_functions,
-        top_k=K, pack16=pack16,
-    )
+    if is_forest:
+        import jax.numpy as jnp
+
+        packed = dev.classify_batch_packed_forest(
+            tuple(s.tbl8 for s in f.subs),
+            tuple(s.byte_starts for s in f.subs),
+            tuple(s.byte_ends for s in f.subs),
+            jnp.asarray(inbuf),
+            ctx.specs[0].rel_cutoff, ctx.level.rel_filter, cfg.hashes_limit,
+            k=ctx.kmer_size, w=w, L1=codes1.shape[1],
+            L2=codes2.shape[1] if codes2 is not None else 0,
+            sub_params=tuple(
+                (s.ibf_config.bin_size_bits, s.ibf_config.hash_functions)
+                for s in f.subs
+            ),
+            top_k=K, pack16=pack16,
+        )
+    else:
+        packed = dev.classify_batch_packed(
+            f.tbl8, f.byte_starts, f.byte_ends, f.put_batch(inbuf),
+            ctx.specs[0].rel_cutoff, ctx.level.rel_filter, cfg.hashes_limit,
+            k=ctx.kmer_size, w=w, L1=codes1.shape[1],
+            L2=codes2.shape[1] if codes2 is not None else 0,
+            bin_size=f.ibf_config.bin_size_bits,
+            hash_functions=f.ibf_config.hash_functions,
+            top_k=K, pack16=pack16,
+        )
     return packed, batch_pad, K, f.num_targets, pack16
 
 

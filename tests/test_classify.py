@@ -487,3 +487,45 @@ def test_hashes_limit_skips_big_reads(tmp_path):
     assert outs["small"].seqs_classified == 0
     assert outs["big"].seqs_skipped_big == 0
     assert outs["big"].seqs_classified == 1
+
+
+def test_hibf_forest_fast_path_matches_full(tmp_path):
+    """Native HIBF packed dispatch == the full-matrix path."""
+    import numpy as np
+
+    from ganon_tpu.index.hibf import build_hibf
+    from ganon_tpu.index.builder import BuildStats
+    from ganon_tpu.classify.engine import ClassifyConfig, run_classify
+    from ganon_tpu.ops.minimizers import window_mins_jax
+
+    rng = np.random.default_rng(21)
+    genomes, th = {}, {}
+    # skewed sizes so the forest stratifies into >1 sub-IBF
+    for i, glen in enumerate([3000, 3500, 4000, 30000, 36000]):
+        t = f"T{i}"
+        g = rng.integers(0, 4, size=glen, dtype=np.uint8)
+        genomes[t] = g
+        mv, valid = window_mins_jax(
+            g[None, :], np.asarray([glen], dtype=np.int32), k=19, w=31
+        )
+        th[t] = np.unique(np.asarray(mv)[np.asarray(valid)])
+    hibf = build_hibf(th, kmer_size=19, window_size=31, max_fp=0.05)
+    db = tmp_path / "db.hibf"
+    hibf.save(str(db))
+    assert len(hibf.subs) > 1
+
+    reads = _mk_reads(tmp_path, "r", genomes, rng, n=150)
+    outs = {}
+    for tag, fast in (("fast", True), ("full", False)):
+        prefix = str(tmp_path / tag)
+        cfg = ClassifyConfig(
+            ibf=[str(db)], single_reads=[reads], output_prefix=prefix,
+            output_all=True, output_unclassified=True, rel_cutoff=[0.25],
+            device_thresholding=fast,
+        )
+        run_classify(cfg)
+        outs[tag] = {
+            ext: sorted(open(prefix + ext).read().splitlines())
+            for ext in (".rep", ".all", ".unc")
+        }
+    assert outs["fast"] == outs["full"]
