@@ -341,6 +341,75 @@ def classify_batch_packed_forest(
     return jnp.concatenate([p.astype(jnp.int32) for p in out])
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "w", "L1", "L2", "sub_params", "num_targets", "top_k",
+        "pack16",
+    ),
+)
+def classify_batch_packed_raptor(
+    tbl8s, byte_startss, byte_endss, colss, inbuf,
+    rel_cutoff, rel_filter, hashes_limit, *,
+    k: int, w: int, L1: int, L2: int,
+    sub_params: tuple,  # ((bin_size, hash_functions), ...) per sub-IBF
+    num_targets: int, top_k: int, pack16: bool,
+):
+    """classify_batch_packed over a raptor-format HIBF.
+
+    Like classify_batch_packed_forest, but raptor user bins can appear
+    in more than one sub-IBF (merged-bin routing), so per-sub counts
+    scatter-max into the global target matrix (same accumulate as
+    DeviceRaptorHIBF.counts) before thresholding — still one dispatch
+    and one packed fetch per batch.
+    """
+    codes1p, len1, codes2p, len2 = _unpack_batch_input(inbuf, L1, L2)
+    codes1 = unpack_codes_2bit(codes1p, L1)
+    codes2 = unpack_codes_2bit(codes2p, L2) if codes2p is not None else None
+    m1 = max(L1 - w + 1, 1)
+    m2 = max(L2 - w + 1, 1) if codes2p is not None else 0
+    hashes, mask, n_hashes = extract_hashes(
+        codes1, len1, codes2, len2, k=k, w=w, m1=m1, m2=m2
+    )
+    mc = compact_width(hashes.shape[1])
+    if mc and mc < hashes.shape[1]:
+        hashes, mask, overflow = compact_hashes(hashes, mask, max_compact=mc)
+    else:
+        overflow = jnp.zeros(hashes.shape[0], dtype=bool)
+    counts = jnp.zeros((hashes.shape[0], num_targets), dtype=jnp.int32)
+    for tbl8, bs, be, cols, (bin_size, hash_functions) in zip(
+        tbl8s, byte_startss, byte_endss, colss, sub_params
+    ):
+        rows = ibf_row_indices(
+            hashes, bin_size=bin_size, hash_functions=hash_functions
+        )
+        c = bulk_target_counts_u8(tbl8, rows, mask, bs, be)
+        counts = counts.at[:, cols].max(c)
+    counts = jnp.minimum(counts, n_hashes[:, None])
+    res = threshold_topk(
+        counts, n_hashes, rel_cutoff, rel_filter, hashes_limit, top_k=top_k
+    )
+    if pack16:
+        matches = [((res["top_vals"] << 16) | res["top_idx"]).ravel()]
+    else:
+        matches = [res["top_vals"].ravel(), res["top_idx"].ravel()]
+    out = matches + [
+        res["n_matches"],
+        res["max_count"],
+        n_hashes,
+        overflow.astype(jnp.int32),
+        res["matches_t"],
+        res["disc_t"],
+        res["unique_t"],
+        jnp.stack([
+            res["seqs_classified"].astype(jnp.int32),
+            res["kmers_from_classified"].astype(jnp.int32),
+            res["kmers_matches"].astype(jnp.int32),
+        ]),
+    ]
+    return jnp.concatenate([p.astype(jnp.int32) for p in out])
+
+
 def unpack_batch_result(packed: np.ndarray, B: int, K: int, T: int,
                         pack16: bool = True) -> dict:
     """Split a classify_batch_packed fetch back into the result dict."""

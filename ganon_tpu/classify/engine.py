@@ -469,7 +469,10 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
     is_forest = isinstance(f, dev.DeviceHIBF) and getattr(
         f, "contiguous", False
     )
-    if not isinstance(f, dev.DeviceFilter) and not is_forest:
+    is_raptor = isinstance(f, dev.DeviceRaptorHIBF) and f.subs
+    if not isinstance(f, dev.DeviceFilter) and not is_forest and not (
+        is_raptor
+    ):
         return None
 
     B0 = len(batch)
@@ -481,7 +484,25 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
     K = min(cfg.top_k_matches, f.num_targets)
     pack16 = f.num_targets <= 0xFFFF and cfg.hashes_limit <= 0xFFFF
     inbuf = dev.pack_batch_input(codes1, len1, codes2, len2)
-    if is_forest:
+    if is_raptor:
+        import jax.numpy as jnp
+
+        packed = dev.classify_batch_packed_raptor(
+            tuple(s["tbl8"] for s in f.subs),
+            tuple(s["byte_starts"] for s in f.subs),
+            tuple(s["byte_ends"] for s in f.subs),
+            tuple(jnp.asarray(s["cols"]) for s in f.subs),
+            jnp.asarray(inbuf),
+            ctx.specs[0].rel_cutoff, ctx.level.rel_filter, cfg.hashes_limit,
+            k=ctx.kmer_size, w=w, L1=codes1.shape[1],
+            L2=codes2.shape[1] if codes2 is not None else 0,
+            sub_params=tuple(
+                (s["bin_size"], s["hash_funs"]) for s in f.subs
+            ),
+            num_targets=f.num_targets,
+            top_k=K, pack16=pack16,
+        )
+    elif is_forest:
         import jax.numpy as jnp
 
         packed = dev.classify_batch_packed_forest(

@@ -131,3 +131,37 @@ def test_flattened_counts_match_per_child_query(hierarchy):
     # reads built from a user bin's hashes count fully for that bin
     for b, t in enumerate(["GCF_000000001.1", "s__Some species", "562"]):
         assert got[b, col[t]] == M
+
+
+def test_engine_fast_path_matches_full_on_raptor(hierarchy, tmp_path):
+    """Engine packed raptor dispatch == the full-matrix path on a
+    synthetic read set (hashes can't drive the engine; use reads that
+    share minimizers with the user bins via a rebuilt sequence db)."""
+    from ganon_tpu.classify.engine import ClassifyConfig, run_classify
+    from ganon_tpu.ops.minimizers import window_mins_jax
+
+    path, groups, child_ibfs, filenames = hierarchy
+
+    # random reads: classification is mostly noise/fp-driven, but both
+    # paths must agree bit-for-bit regardless
+    rng = np.random.default_rng(33)
+    reads = tmp_path / "r.fq"
+    with open(reads, "w") as f:
+        for i in range(200):
+            seq = "".join("ACGT"[c] for c in rng.integers(0, 4, size=150))
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * 150}\n")
+
+    outs = {}
+    for tag, fast in (("fast", True), ("full", False)):
+        prefix = str(tmp_path / tag)
+        cfg = ClassifyConfig(
+            ibf=[path], single_reads=[str(reads)], output_prefix=prefix,
+            output_all=True, output_unclassified=True, rel_cutoff=[0.1],
+            device_thresholding=fast,
+        )
+        run_classify(cfg)
+        outs[tag] = {
+            ext: sorted(open(prefix + ext).read().splitlines())
+            for ext in (".rep", ".all", ".unc")
+        }
+    assert outs["fast"] == outs["full"]
