@@ -10,7 +10,6 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-sys.path.insert(0, "/tmp/xp")
 
 import jax
 import jax.numpy as jnp
@@ -62,21 +61,12 @@ def main():
         for o in outs:
             np.asarray(o)
 
-    import xplane_pb2 as xp
+    from xplane_parse import op_durations
 
     f = sorted(glob.glob(f"{tracedir}/plugins/profile/*/*.xplane.pb"))[-1]
-    sp = xp.XSpace()
-    sp.ParseFromString(open(f, "rb").read())
-    for pl in sp.planes:
-        if "TPU" not in pl.name:
-            continue
-        md = pl.event_metadata
-        durs = {}
-        for ln in pl.lines:
-            for ev in ln.events:
-                name = md[ev.metadata_id].name if ev.metadata_id in md else "?"
-                durs[name] = durs.get(name, 0.0) + ev.duration_ps / 1e12
-        print("== plane:", pl.name)
+    durs = op_durations(f)
+    if True:
+        print("== device plane ==")
         total = 0.0
         for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:30]:
             print(f"  {d/N_TRACE*1e3:9.3f} ms  {name[:150]}")
