@@ -466,8 +466,10 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
     if len(ctx.filters) != 1 or not cfg.device_thresholding:
         return None
     f = ctx.filters[0]
-    is_forest = isinstance(f, dev.DeviceHIBF) and getattr(
-        f, "contiguous", False
+    is_forest = (
+        isinstance(f, dev.DeviceHIBF)
+        and getattr(f, "contiguous", False)
+        and f.subs
     )
     is_raptor = isinstance(f, dev.DeviceRaptorHIBF) and f.subs
     if not isinstance(f, dev.DeviceFilter) and not is_forest and not (
@@ -478,6 +480,11 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
     B0 = len(batch)
     w = ctx.window_size
     batch_pad = dev.bucket_len(B0, minimum=64)
+    # put_batch shards the batch axis over the mesh: the padded batch must
+    # divide the mesh batch axis regardless of the bucket minimum chosen
+    mult = getattr(f, "batch_mult", 1)
+    if mult > 1 and batch_pad % mult:
+        batch_pad = -(-batch_pad // mult) * mult
     codes1, len1, codes2, len2, m1, m2 = dev.batch_to_device(
         batch, w, batch_pad
     )

@@ -197,7 +197,12 @@ def _scatter_chunk_jit():
             jnp.uint64
         )
         uniq = first & (sbidx < sentinel)
-        word = jnp.where(uniq, (sbidx >> jnp.uint64(5)).astype(jnp.int64), 0)
+        # word index unconditionally from the sorted bit index: keeps the
+        # index vector truly sorted (required by indices_are_sorted=True).
+        # Sentinel entries map to exactly bits.size — out of bounds, so
+        # mode="drop" discards them; duplicate entries keep their true
+        # (sorted) word with a zero bit payload.
+        word = (sbidx >> jnp.uint64(5)).astype(jnp.int64)
         bit = jnp.where(
             uniq,
             jnp.uint32(1) << (sbidx & jnp.uint64(31)).astype(jnp.uint32),

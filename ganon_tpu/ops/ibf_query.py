@@ -144,11 +144,17 @@ def target_counts(bin_counts, bin_to_target, *, num_targets: int):
         (``num_targets`` for padding bins).
       num_targets: static target count T.
 
-    Returns int32 ``[B, T]``. Exact: counts are < 2^24 so f32 matmul is exact.
+    Returns int32 ``[B, T]``. Exact: counts are < 2^24, and the dot runs at
+    ``Precision.HIGHEST`` — on TPU the default single-pass bf16 MXU matmul
+    is only exact for integers <= 256, which per-byte counts exceed on the
+    long-read path.
     """
     onehot = jax.nn.one_hot(bin_to_target, num_targets + 1, dtype=jnp.float32)
     out = jnp.dot(
-        bin_counts.astype(jnp.float32), onehot, preferred_element_type=jnp.float32
+        bin_counts.astype(jnp.float32),
+        onehot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[:, :num_targets].astype(jnp.int32)
 
@@ -237,7 +243,13 @@ def _segment_matmul(cw, byte_starts, byte_ends):
     away; the contraction runs on the MXU. Replaces the prefix-sum
     formulation: XLA lowers wide cumsums to reduce-window, which
     measured 4.7 ms/batch at W8=256 (T=256 targets) vs ~0 for the
-    matmul. Exact: counts < 2^24 in f32.
+    matmul.
+
+    Exactness requires ``Precision.HIGHEST``: per-byte counts reach
+    hashes_limit (65535) on the long-read/uncompacted path, far above
+    the 256-integer exactness bound of TPU's default single-pass bf16
+    matmul; HIGHEST (6-pass) is exact for integers < 2^24 and measured
+    ~0 ms here.
     """
     W8 = cw.shape[1]
     w_idx = jnp.arange(W8, dtype=jnp.int32)[:, None]  # [W8, 1]
@@ -245,7 +257,10 @@ def _segment_matmul(cw, byte_starts, byte_ends):
         (w_idx >= byte_starts[None, :]) & (w_idx < byte_ends[None, :])
     ).astype(jnp.float32)  # [W8, T]
     out = jnp.dot(
-        cw.astype(jnp.float32), seg, preferred_element_type=jnp.float32
+        cw.astype(jnp.float32),
+        seg,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out.astype(jnp.int32)
 
