@@ -175,8 +175,11 @@ def get_file_info(cfg, info, tax, build_output_folder=None):
     for entry in cfg.ncbi_file_info:
         if entry in ASSEMBLY_SUMMARY_PREFIXES:
             source = entry.split("_")[0]
+            ncbi_url = getattr(
+                cfg, "ncbi_url", "https://ftp.ncbi.nlm.nih.gov/"
+            ).rstrip("/")
             urls.append(
-                "https://ftp.ncbi.nlm.nih.gov/genomes/" + source
+                ncbi_url + "/genomes/" + source
                 + "/assembly_summary_" + entry + ".txt"
             )
         else:
@@ -251,8 +254,11 @@ def get_sequence_info(cfg, info, tax, build_output_folder=None):
     files, urls = [], []
     for entry in mode:
         if entry in acc2txid_prefixes:
+            ncbi_url = getattr(
+                cfg, "ncbi_url", "https://ftp.ncbi.nlm.nih.gov/"
+            ).rstrip("/")
             urls.append(
-                "https://ftp.ncbi.nlm.nih.gov/pub/taxonomy/accession2taxid/"
+                ncbi_url + "/pub/taxonomy/accession2taxid/"
                 + entry + ".accession2taxid.gz"
             )
         else:
@@ -350,14 +356,111 @@ def parse_assembly_summary(info, assembly_summary_files, level):
     return count
 
 
+def _convert_nodes(info, tax, cfg):
+    """Cross-taxonomy conversion of the node column
+    (build_update.py:874-955). Returns the target taxonomy.
+
+    ncbi->ncbi re-resolves ids on the newer taxdump; the gtdb-anchored
+    directions map through per-assembly conversion files
+    (taxonomy.parse_gtdb_conversion_file) and fold one-to-many results
+    with an LCA on the target taxonomy.
+    """
+    tax_from = cfg.taxonomy.split("-")[0]
+    tax_to = cfg.convert_taxonomy.split("-")[0]
+    conv_files = list(getattr(cfg, "convert_taxonomy_files", []) or [])
+    gtdb_files = list(getattr(cfg, "convert_gtdb_files", []) or [])
+
+    if tax_from == "ncbi" and tax_to == "ncbi" and not cfg.taxonomy_files:
+        # already resolved on the latest downloaded taxdump
+        return tax
+    print_log(
+        f" - converting taxonomy [{cfg.taxonomy} -> {cfg.convert_taxonomy}]",
+        cfg.quiet,
+    )
+    def load_target(kind):
+        if conv_files:
+            return (
+                taxmod.load_ncbi(files=conv_files)
+                if kind == "ncbi"
+                else taxmod.load_gtdb(files=conv_files)
+            )
+        # no local files: fetch like the source taxonomy does (multitax
+        # auto-download in the reference; honors the local_dir override)
+        from ganon_tpu import acquire
+
+        if kind == "ncbi":
+            return taxmod.load_ncbi(files=[acquire.fetch_taxdump(".", cfg.quiet)])
+        return taxmod.load_gtdb(files=acquire.fetch_gtdb_tax(".", cfg.quiet))
+
+    if tax_from == "ncbi" and tax_to == "ncbi":
+        target_tax = load_target("ncbi")
+        info["node"] = info["node"].apply(
+            lambda n: target_tax.latest(n) if n else None
+        )
+        info["node"] = info["node"].replace("", None)
+        return target_tax
+
+    if not gtdb_files:
+        raise ValueError(
+            "--convert-gtdb-files is required to convert "
+            f"[{cfg.taxonomy} -> {cfg.convert_taxonomy}] offline"
+        )
+    if tax_from == "gtdb" and tax_to == "gtdb":
+        target_tax = load_target("gtdb")
+        mapping = taxmod.gtdb_conversion_map(gtdb_files[0], gtdb_files[1])
+    elif tax_from == "gtdb" and tax_to == "ncbi":
+        target_tax = load_target("ncbi")
+        # project each assembly's ncbi taxid to the ncbi ancestor at the
+        # gtdb node's rank BEFORE the lca fold (assemblies with no
+        # ancestor at that rank abstain) — this reproduces the reference
+        # expectations (test_build_custom.py:405-445: g__JOSHI-001 ->
+        # family 2975441, not the raw-taxid lca at order level)
+        raw = taxmod.gtdb_to_ncbi_map(gtdb_files[0])
+        mapping = {}
+        for node, taxids in raw.items():
+            rank = taxmod.GTDB_RANKS.get(node[0])
+            # old taxdumps call the top rank superkingdom, new ones domain
+            ranks = ("domain", "superkingdom") if rank == "domain" else (rank,)
+            projected = set()
+            for t in taxids:
+                t = target_tax.latest(t)
+                for r in ranks:
+                    p = target_tax.parent_rank(t, r) if t else None
+                    if p:
+                        projected.add(p)
+                        break
+            mapping[node] = projected
+    else:  # ncbi -> gtdb
+        target_tax = load_target("gtdb")
+        # direct taxid match only: an ncbi node with no assembly carrying
+        # exactly that taxid does not translate (reference
+        # test_build_custom.py:476-481 drops 2648079, the direct parent
+        # of a mapped taxid)
+        mapping = taxmod.ncbi_to_gtdb_map(gtdb_files[0])
+
+    # one-to-many -> LCA on the target taxonomy (build_update.py:936-942)
+    def fold(n):
+        if not n:
+            return None
+        nodes = sorted(mapping.get(n, ()))
+        return target_tax.lca(nodes) or None if nodes else None
+
+    info["node"] = info["node"].apply(fold)
+    info["node"] = info["node"].replace("", None)
+    return target_tax
+
+
 def validate_convert_taxonomy(info, tax, cfg):
-    """Validate nodes on the taxonomy; apply --level rank projection
-    (build_update.py:860-1001; cross-taxonomy conversion not yet
-    supported)."""
+    """Validate nodes on the taxonomy, convert to --convert-taxonomy, and
+    apply the --level rank projection (build_update.py:860-1001)."""
     info["node"] = info["node"].apply(
         lambda n: tax.latest(n) if pd.notna(n) else None
     )
     info["node"] = info["node"].replace("", None)
+
+    if getattr(cfg, "convert_taxonomy", ""):
+        tax = _convert_nodes(info, tax, cfg)
+        cfg.taxonomy = cfg.convert_taxonomy
 
     if cfg.level and cfg.level not in ["leaves"] + CHOICES_LEVEL:
         info["node"] = info["node"].apply(

@@ -150,6 +150,21 @@ class Config:
                             default=[])
             tx.add_argument("--skip-genome-size", action="store_true",
                             default=False)
+            # acquisition URL overrides + hidden compat flags
+            # (reference config.py:514-541)
+            adv.add_argument("--ncbi-url", type=str,
+                             default="https://ftp.ncbi.nlm.nih.gov/",
+                             help=argparse.SUPPRESS)
+            adv.add_argument("--gtdb-url", type=str,
+                             default="https://data.gtdb.ecogenomic.org/"
+                                     "releases/latest/",
+                             help=argparse.SUPPRESS)
+            adv.add_argument("--n-refs", type=unsigned_int(1), default=None,
+                             help=argparse.SUPPRESS)
+            adv.add_argument("--ganon-path", type=str, default="",
+                             help=argparse.SUPPRESS)
+            adv.add_argument("--raptor-path", type=str, default="",
+                             help=argparse.SUPPRESS)
             return adv
 
         # build (download + build)
@@ -197,6 +212,16 @@ class Config:
         bc.add_argument("--keep-invalid-taxa", action="store_true",
                         default=False)
         bc.add_argument("--convert-taxonomy", type=str, default="")
+        bc.add_argument("-u", "--convert-taxonomy-files", type=str, nargs="*",
+                        default=[],
+                        help="Local taxonomy files for --convert-taxonomy "
+                             "(ncbi: taxdump.tar.gz or nodes.dmp [names.dmp "
+                             "merged.dmp]; gtdb: *taxonomy.tsv.gz)")
+        bc.add_argument("--convert-gtdb-files", type=str, nargs="*",
+                        default=[],
+                        help="Local GTDB conversion files (one per GTDB "
+                             "version in --taxonomy/--convert-taxonomy; "
+                             "multitax data/gtdb format)")
 
         # update
         up = sub.add_parser("update", help="Update a database")
@@ -215,6 +240,10 @@ class Config:
         up.add_argument("--keep-invalid-taxa", action="store_true",
                         default=False)
         up.add_argument("--convert-taxonomy", type=str, default="")
+        up.add_argument("-u", "--convert-taxonomy-files", type=str, nargs="*",
+                        default=[])
+        up.add_argument("--convert-gtdb-files", type=str, nargs="*",
+                        default=[])
         up.add_argument("-o", "--output-db-prefix", type=str, default="")
 
         # classify
@@ -239,6 +268,11 @@ class Config:
                         default=[])
         cl.add_argument("-m", "--multiple-matches", type=str, default="em",
                         choices=cls.choices_multiple_matches)
+        cl.add_argument("--binning", action="store_true", default=False,
+                        help="Optimized parameters for binning "
+                             "(--rel-cutoff 0.25 --rel-filter 0 --min-count 0 "
+                             "--report-type reads). Reports sequence "
+                             "abundances instead of taxonomic abundance")
         cl.add_argument("--ranks", type=str, nargs="*", default=[])
         cl.add_argument("--min-count", type=int_or_float(0), default=0)
         cl.add_argument("--report-type", type=str, default="abundance",
@@ -368,7 +402,32 @@ class Config:
                 self.max_fp = 0  # filter-size wins when both given
             if self.window_size < self.kmer_size:
                 raise ValueError("--window-size must be >= --kmer-size")
+        if self.which in ("build_custom", "update") and getattr(
+            self, "convert_taxonomy", ""
+        ):
+            # conversion file count per direction (config.py:1326-1348)
+            pair = (self.taxonomy.split("-")[0],
+                    self.convert_taxonomy.split("-")[0])
+            need = {("gtdb", "gtdb"): 2, ("gtdb", "ncbi"): 1,
+                    ("ncbi", "gtdb"): 1}.get(pair)
+            if need and self.convert_gtdb_files and len(
+                self.convert_gtdb_files
+            ) != need:
+                raise ValueError(
+                    f"--convert-gtdb-files requires {need} file(s) for "
+                    f"[{self.taxonomy} -> {self.convert_taxonomy}]"
+                )
+            if self.taxonomy == "skip":
+                raise ValueError(
+                    "--convert-taxonomy requires --taxonomy ncbi or gtdb"
+                )
         if self.which == "classify":
+            if self.binning:
+                # binning preset (reference set_defaults, config.py:1263-1267)
+                self.rel_cutoff = [0.25]
+                self.rel_filter = [0]
+                self.min_count = 0
+                self.report_type = "reads"
             if not (self.single_reads or self.paired_reads or self.batch_reads):
                 raise ValueError(
                     "--single-reads, --paired-reads or --batch-reads required"

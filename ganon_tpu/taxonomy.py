@@ -191,6 +191,31 @@ class Taxonomy:
         self._children = None
         self._lineages = None
 
+    def lca(self, nodes):
+        """Lowest common ancestor of a list of nodes.
+
+        Reference: multitax ``build_lca``/``lca`` used by taxonomy
+        conversion (build_update.py:936-942) — deepest shared entry of
+        the root-anchored lineages; root when the nodes share nothing.
+        """
+        lineages = []
+        for n in nodes:
+            n = self.latest(n)
+            if n:
+                lineages.append(self._walk(n))
+        if not lineages:
+            return self.undefined_node
+        common = lineages[0]
+        for lin in lineages[1:]:
+            i = 0
+            stop = min(len(common), len(lin))
+            while i < stop and common[i] == lin[i]:
+                i += 1
+            common = common[:i]
+            if not common:
+                return self.root_node
+        return common[-1] if common else self.root_node
+
     def check_consistency(self):
         for node in self._parent:
             if node == self.root_node:
@@ -335,6 +360,75 @@ def _tar_text(tar, name):
     if member is None:
         raise KeyError(name)
     return io.TextIOWrapper(member)
+
+
+# --- cross-taxonomy conversion ----------------------------------------------
+#
+# GTDB "conversion" files (multitax data/gtdb, one per GTDB version) hold one
+# row per assembly:
+#   {short acc} <tab> {t|f rep flag} <tab> {d__..;p__..;..;s__..} <tab> {ncbi taxid}
+# They anchor the three conversion directions the reference supports
+# (build_update.py:894-942): gtdb->gtdb (match accessions across two
+# versions), gtdb->ncbi (lineage node -> ncbi taxids of its assemblies) and
+# ncbi->gtdb (taxid -> gtdb species of its assemblies). One-to-many results
+# are folded with :meth:`Taxonomy.lca` on the target taxonomy by the caller.
+
+
+def parse_gtdb_conversion_file(path):
+    """{acc: (gtdb lineage list, ncbi taxid)} from a conversion file."""
+    rows = {}
+    with _open_text(path) as fh:
+        for line in fh:
+            fields = line.rstrip("\n").split("\t")
+            if len(fields) < 4:
+                continue
+            lineage = [e.strip() for e in fields[2].split(";")]
+            rows[fields[0]] = (lineage, fields[3])
+    return rows
+
+
+def gtdb_conversion_map(source_file, target_file):
+    """{source gtdb node: set(target gtdb nodes at the same rank)}.
+
+    Assemblies present in both versions vote with their target-version
+    lineage entry at the source node's rank position; assemblies dropped
+    from the target version contribute nothing (a node whose assemblies
+    all vanished converts to the empty set -> skipped by the caller).
+    """
+    src = parse_gtdb_conversion_file(source_file)
+    tgt = parse_gtdb_conversion_file(target_file)
+    conv: dict[str, set] = {}
+    for acc, (lin_s, _) in src.items():
+        t = tgt.get(acc)
+        if t is None:
+            continue
+        lin_t = t[0]
+        for i, node in enumerate(lin_s):
+            if i < len(lin_t):
+                conv.setdefault(node, set()).add(lin_t[i])
+    return conv
+
+
+def gtdb_to_ncbi_map(conversion_file):
+    """{gtdb node (any rank): set(ncbi taxids of its assemblies)}."""
+    m: dict[str, set] = {}
+    for _acc, (lineage, taxid) in parse_gtdb_conversion_file(
+        conversion_file
+    ).items():
+        for node in lineage:
+            m.setdefault(node, set()).add(taxid)
+    return m
+
+
+def ncbi_to_gtdb_map(conversion_file):
+    """{ncbi taxid: set(gtdb species of assemblies with that taxid)}."""
+    m: dict[str, set] = {}
+    for _acc, (lineage, taxid) in parse_gtdb_conversion_file(
+        conversion_file
+    ).items():
+        if lineage:
+            m.setdefault(taxid, set()).add(lineage[-1])
+    return m
 
 
 # --- genome sizes -----------------------------------------------------------

@@ -303,3 +303,112 @@ def test_hibf_filter_type(tmp_path):
     p = run_build(tmp_path, "hibf", filter_type="hibf")
     res = sanity(p)
     assert res["target"].shape[0] == len(FILES)
+
+
+# ---------------------------------------------------------------------------
+# cross-taxonomy conversion (--convert-taxonomy), reference
+# test_build_custom.py:354-530 expectations on its bundled conversion
+# fixtures (tests/ganon/data/build-custom/convert/)
+
+CONVERT = f"{BC}/convert"
+
+
+def _convert_input(tmp_path, src_tsv):
+    """Rewrite the fixture input TSV's relative fasta path to absolute."""
+    out = tmp_path / "convert_input.tsv"
+    with open(src_tsv) as f, open(out, "w") as o:
+        for line in f:
+            fields = line.rstrip("\n").split("\t")
+            fields[0] = os.path.join(CONVERT, os.path.basename(fields[0]))
+            o.write("\t".join(fields) + "\n")
+    return str(out)
+
+
+def test_convert_taxonomy_gtdb_gtdb(tmp_path):
+    """gtdb-95 -> gtdb-226: same / missing / one-to-one / one-to-many(lca)."""
+    inp = _convert_input(tmp_path, f"{CONVERT}/convert_gtdb.tsv")
+    p = run_build(
+        tmp_path, "conv_gtdb_gtdb", input=None, input_file=inp,
+        input_target="sequence", skip_genome_size=True, level="leaves",
+        taxonomy="gtdb-95",
+        taxonomy_files=[f"{CONVERT}/bac120_taxonomy_r95.tsv.gz"],
+        convert_taxonomy="gtdb-226",
+        convert_taxonomy_files=[f"{CONVERT}/bac120_taxonomy_r226.tsv.gz"],
+        convert_gtdb_files=[f"{CONVERT}/95_acc_rep_lin_ncbi.tsv.gz",
+                            f"{CONVERT}/226_acc_rep_lin_ncbi.tsv.gz"],
+    )
+    res = sanity(p, skipped_targets=True)
+    # s__Bact-08 sp003520315 vanished in r226 (dropped); JOSHI-001 is
+    # one-to-many -> lca f__Burkholderiaceae
+    assert sorted(res["target"]["target"]) == sorted([
+        "s__Neisseria meningitidis",
+        "s__Oliverpabstia intestinalis",
+        "f__Burkholderiaceae",
+    ])
+
+
+def test_convert_taxonomy_gtdb_ncbi(tmp_path):
+    """gtdb-95 -> ncbi-latest with --level family."""
+    inp = _convert_input(tmp_path, f"{CONVERT}/convert_gtdb.tsv")
+    p = run_build(
+        tmp_path, "conv_gtdb_ncbi", input=None, input_file=inp,
+        input_target="sequence", skip_genome_size=True, level="family",
+        taxonomy="gtdb-95",
+        taxonomy_files=[f"{CONVERT}/bac120_taxonomy_r95.tsv.gz"],
+        convert_taxonomy="ncbi-latest",
+        convert_taxonomy_files=[f"{CONVERT}/convert_nodes.dmp"],
+        convert_gtdb_files=[f"{CONVERT}/95_acc_rep_lin_ncbi.tsv.gz"],
+    )
+    res = sanity(p)
+    assert sorted(res["target"]["target"]) == sorted(
+        ["481", "171550", "186803", "2975441"])
+
+
+def test_convert_taxonomy_ncbi_gtdb(tmp_path):
+    """ncbi -> gtdb-226 with --level species; untranslatable entry dropped."""
+    inp = _convert_input(tmp_path, f"{CONVERT}/convert_ncbi.tsv")
+    p = run_build(
+        tmp_path, "conv_ncbi_gtdb", input=None, input_file=inp,
+        input_target="sequence", skip_genome_size=True, level="species",
+        taxonomy="ncbi",
+        taxonomy_files=[f"{CONVERT}/convert_nodes.dmp"],
+        convert_taxonomy="gtdb-226",
+        convert_taxonomy_files=[f"{CONVERT}/bac120_taxonomy_r226.tsv.gz"],
+        convert_gtdb_files=[f"{CONVERT}/226_acc_rep_lin_ncbi.tsv.gz"],
+    )
+    res = sanity(p, skipped_targets=True)
+    assert sorted(res["target"]["target"]) == sorted([
+        "s__Neisseria meningitidis",
+        "s__Aquabacterium_A sp001770815",
+        "s__Aquabacterium_A sp002198735",
+    ])
+
+
+def test_convert_taxonomy_ncbi_ncbi(tmp_path):
+    """ncbi -> ncbi-latest with --level class (re-resolve on new taxdump)."""
+    inp = _convert_input(tmp_path, f"{CONVERT}/convert_ncbi.tsv")
+    p = run_build(
+        tmp_path, "conv_ncbi_ncbi", input=None, input_file=inp,
+        input_target="sequence", skip_genome_size=True, level="class",
+        taxonomy="ncbi",
+        taxonomy_files=[f"{CONVERT}/convert_nodes.dmp"],
+        convert_taxonomy="ncbi-latest",
+        convert_taxonomy_files=[f"{CONVERT}/convert_nodes.dmp"],
+    )
+    res = sanity(p)
+    tax = res["tax"]
+    for t in res["target"]["target"]:
+        assert tax.rank(t) == "class"
+
+
+def test_classify_binning_preset():
+    """--binning preset (reference config.py set_defaults:1263-1267)."""
+    from ganon_tpu.config import Config
+
+    cfg = Config("classify", db_prefix=["x"], single_reads=["r.fq"],
+                 binning=True)
+    cfg.validate()
+    assert cfg.rel_cutoff == [0.25]
+    assert cfg.rel_filter == [0]
+    assert cfg.min_count == 0
+    assert cfg.report_type == "reads"
