@@ -2,8 +2,10 @@
 
 Euler tour + depth array + sparse-table RMQ, O(1) pairwise queries folded
 over match lists — functional equivalent of the reference LCA
-(``/root/reference/src/utils/include/utils/LCA.hpp:11-174``), built with
-numpy and an iterative DFS (no recursion limit).
+(``/root/reference/src/utils/include/utils/LCA.hpp:11-174``). The core
+runs in C++ (ganon_tpu/native/lca.cpp, the reference's LCA is native
+too); this module keeps the string<->id encoding and falls back to a
+numpy + iterative-DFS implementation when no compiler is available.
 """
 
 from __future__ import annotations
@@ -14,12 +16,15 @@ import numpy as np
 class LCA:
     def __init__(self):
         self._children: dict[str, list[str]] = {}
+        self._edges: list[tuple[str, str]] = []
         self._encode: dict[str, int] = {}
         self._decode: list[str] = []
         self._euler: np.ndarray | None = None
         self._first: np.ndarray | None = None
         self._sparse: np.ndarray | None = None
         self._depth: np.ndarray | None = None
+        self._native = None
+        self._reachable: np.ndarray | None = None
 
     def add_edge(self, parent: str, child: str) -> None:
         for node in (parent, child):
@@ -28,9 +33,33 @@ class LCA:
                 self._decode.append(node)
         if parent != child:  # guard self-loops (root listing itself)
             self._children.setdefault(parent, []).append(child)
+            self._edges.append((parent, child))
 
     def build(self, root: str) -> None:
         """Euler walk from ``root`` + sparse-table RMQ preprocessing."""
+        try:
+            from ganon_tpu.native import NativeLCA
+
+            if NativeLCA.available():
+                enc = self._encode
+                parents = np.fromiter(
+                    (enc[p] for p, _ in self._edges), dtype=np.int32,
+                    count=len(self._edges),
+                )
+                children = np.fromiter(
+                    (enc[c] for _, c in self._edges), dtype=np.int32,
+                    count=len(self._edges),
+                )
+                self._native = NativeLCA(
+                    parents, children, len(self._decode), enc[root]
+                )
+                self._reachable = self._native.reachable()
+                return
+        except Exception:
+            self._native = None
+        self._build_py(root)
+
+    def _build_py(self, root: str) -> None:
         n = len(self._decode)
         first = np.full(n, -1, dtype=np.int64)
         euler: list[int] = []
@@ -83,6 +112,8 @@ class LCA:
         return a if self._depth[a] <= self._depth[b] else b
 
     def lca_pair(self, u: int, v: int) -> int:
+        if self._native is not None:
+            return self._native.pair(u, v)
         if u == v:
             return u
         fu, fv = self._first[u], self._first[v]
@@ -91,18 +122,29 @@ class LCA:
         return self._euler[self._rmq(fu, fv)]
 
     def __contains__(self, node: str) -> bool:
-        return node in self._encode and (
-            self._first is None or self._first[self._encode[node]] != -1
-        )
+        if node not in self._encode:
+            return False
+        if self._native is not None:
+            return bool(self._reachable[self._encode[node]])
+        return self._first is None or self._first[self._encode[node]] != -1
 
     def lca(self, nodes: list[str]) -> str:
         """LCA of a list of node names (folds pairwise, order-invariant)."""
         assert len(nodes) >= 1
         if len(nodes) == 1:
             return nodes[0]
-        cur = self.lca_pair(self._encode[nodes[0]], self._encode[nodes[1]])
+        enc = self._encode
+        if self._native is not None:
+            ids = np.fromiter(
+                (enc[n] for n in nodes), dtype=np.int32, count=len(nodes)
+            )
+            cur = self._native.lca_list(ids)
+            if cur < 0:
+                raise KeyError(f"LCA query outside the tree: {nodes}")
+            return self._decode[cur]
+        cur = self.lca_pair(enc[nodes[0]], enc[nodes[1]])
         for name in nodes[2:]:
-            cur = self.lca_pair(cur, self._encode[name])
+            cur = self.lca_pair(cur, enc[name])
         return self._decode[cur]
 
 

@@ -247,6 +247,65 @@ def sequence_hashes(seq: str, k: int, w: int) -> np.ndarray:
     return res.get(0, np.empty(0, dtype=np.uint64))
 
 
+def iter_pieces(
+    input_map: dict[str, list[str]],
+    *,
+    window_size: int,
+    min_length: int = 0,
+    stats: BuildStats | None = None,
+):
+    """Yield ``(key=(target, file_index), dna4-encoded piece row)``.
+
+    Pieces are sequence chunks with ``window_size - 1`` overlap so every
+    window is covered by exactly one piece. Pieces of one file arrive
+    consecutively. Uses the native C++ reader (parse + chunk + encode in
+    one pass) when available.
+    """
+    stats = stats if stats is not None else BuildStats()
+    use_native = min_length < CHUNK
+    if use_native:
+        try:
+            from ganon_tpu.native import NativeSeqReader
+
+            use_native = NativeSeqReader.available()
+        except Exception:
+            use_native = False
+    from ganon_tpu.io.pipeline import native_supported
+
+    for target, files in input_map.items():
+        for fi, path in enumerate(files):
+            key = (target, fi)
+            if use_native and native_supported(path):
+                reader = NativeSeqReader(path)
+                while True:
+                    codes, lens, (seqs, skipped, bp) = reader.next_pieces(
+                        PIECES_PER_BATCH, CHUNK, window_size - 1, min_length
+                    )
+                    stats.sequences += seqs - skipped
+                    stats.skipped_sequences += skipped
+                    stats.length_bp += bp
+                    if not len(codes):
+                        break
+                    for i in range(len(codes)):
+                        yield key, codes[i, : lens[i]]
+                reader.close()
+            else:
+                step = CHUNK - (window_size - 1)
+                for _id, seq in SequenceReader(path):
+                    if len(seq) < min_length:
+                        stats.skipped_sequences += 1
+                        continue
+                    stats.sequences += 1
+                    stats.length_bp += len(seq)
+                    if len(seq) < window_size:
+                        continue
+                    for s in range(0, max(len(seq) - window_size + 1, 1),
+                                   step):
+                        piece = seq[s : s + CHUNK]
+                        enc, _ = encode_seqs([piece], max_len=len(piece))
+                        yield key, enc[0]
+
+
 def count_target_hashes(
     input_map: dict[str, list[str]],
     *,
@@ -259,50 +318,19 @@ def count_target_hashes(
 
     Reference semantics: dedup within a file; duplicates across files of
     the same target are stored and counted twice (GanonBuild.cpp:225-240).
-    File reading/encoding runs inline; device dispatches are batched and
-    double-buffered by _HashExtractor.
+    Host-array variant (fetches the hashes); the production ``run_build``
+    path uses the device-resident DeviceBuildPipeline instead.
     """
     stats = stats if stats is not None else BuildStats()
     ex = _HashExtractor(kmer_size, window_size)
-    use_native = min_length < CHUNK
-    if use_native:
-        try:
-            from ganon_tpu.native import NativeSeqReader
-
-            use_native = NativeSeqReader.available()
-        except Exception:
-            use_native = False
     file_keys: dict[str, list] = {}
     for target, files in input_map.items():
-        file_keys[target] = []
-        for fi, path in enumerate(files):
-            key = (target, fi)
-            file_keys[target].append(key)
-            from ganon_tpu.io.pipeline import native_supported
-
-            if use_native and native_supported(path):
-                # C++ parse + chunk + dna4-encode in one pass
-                reader = NativeSeqReader(path)
-                while True:
-                    codes, lens, (seqs, skipped, bp) = reader.next_pieces(
-                        PIECES_PER_BATCH, CHUNK, window_size - 1, min_length
-                    )
-                    stats.sequences += seqs - skipped
-                    stats.skipped_sequences += skipped
-                    stats.length_bp += bp
-                    if not len(codes):
-                        break
-                    for i in range(len(codes)):
-                        ex.add_encoded(key, codes[i, : lens[i]])
-                reader.close()
-            else:
-                for _id, seq in SequenceReader(path):
-                    if len(seq) < min_length:
-                        stats.skipped_sequences += 1
-                        continue
-                    stats.sequences += 1
-                    stats.length_bp += len(seq)
-                    ex.add(key, seq)
+        file_keys[target] = [(target, fi) for fi in range(len(files))]
+    for key, row in iter_pieces(
+        input_map, window_size=window_size, min_length=min_length,
+        stats=stats,
+    ):
+        ex.add_encoded(key, row)
     per_file = ex.finish()
     out: dict[str, np.ndarray] = {}
     for target, keys in file_keys.items():
@@ -313,33 +341,102 @@ def count_target_hashes(
     return out
 
 
+def _use_device_pipeline() -> bool:
+    """The device-resident pipeline exists to avoid host<->device
+    transfers; on the CPU backend those are memcpys and the host-array
+    path is faster (XLA CPU sorts are slow). Override with
+    GANON_TPU_BUILD_PIPELINE={device,host}."""
+    mode = os.environ.get("GANON_TPU_BUILD_PIPELINE", "")
+    if mode in ("device", "host"):
+        return mode == "device"
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
 def run_build(cfg: BuildConfig) -> IBF:
-    """Full ganon-build equivalent: parse, count, size, build, save."""
+    """Full ganon-build equivalent: parse, count, size, build, save.
+
+    On an accelerator the compute path is the device-resident two-pass
+    pipeline (index.device_build): per-piece extraction, per-file
+    dedup/count and the bin-split scatter all run on device; the host
+    fetches 4 bytes per file plus the final bit-matrix. Output is
+    bit-identical to the host-array path (``build_ibf``), which serves
+    the CPU backend.
+    """
     cfg.validate()
     stats = BuildStats()
     input_map = parse_target_info(cfg.input_file, cfg.quiet, stats)
     if not input_map:
         raise ValueError("No valid input files")
-    target_hashes = count_target_hashes(
-        input_map,
-        kmer_size=cfg.kmer_size,
-        window_size=cfg.window_size,
-        min_length=cfg.min_length,
-        stats=stats,
+
+    if not _use_device_pipeline():
+        target_hashes = count_target_hashes(
+            input_map,
+            kmer_size=cfg.kmer_size,
+            window_size=cfg.window_size,
+            min_length=cfg.min_length,
+            stats=stats,
+        )
+        target_hashes = {t: h for t, h in target_hashes.items() if len(h)}
+        if not target_hashes:
+            raise ValueError("No valid sequences to build")
+        ibf = build_ibf(
+            target_hashes,
+            kmer_size=cfg.kmer_size,
+            window_size=cfg.window_size,
+            max_fp=cfg.max_fp,
+            filter_size=cfg.filter_size,
+            hash_functions=cfg.hash_functions,
+            mode=cfg.mode,
+        )
+        return _finish_build(cfg, ibf, stats)
+
+    from ganon_tpu.index import sizing
+    from ganon_tpu.index.config import IBFConfig
+    from ganon_tpu.index.device_build import DeviceBuildPipeline
+
+    pipe = DeviceBuildPipeline(cfg.kmer_size, cfg.window_size)
+    try:
+        for key, row in iter_pieces(
+            input_map, window_size=cfg.window_size,
+            min_length=cfg.min_length, stats=stats,
+        ):
+            pipe.add_encoded(key, row)
+        pipe.finish_counts()
+        # drop targets with zero hashes (sequences all too short)
+        hashes_count = {t: c for t, c in pipe.hashes_count().items() if c}
+        if not hashes_count:
+            raise ValueError("No valid sequences to build")
+        icfg = IBFConfig(
+            kmer_size=cfg.kmer_size, window_size=cfg.window_size
+        )
+        sizing.optimal_hashes(
+            cfg.max_fp if not cfg.filter_size else 0.0,
+            cfg.filter_size,
+            icfg,
+            hashes_count,
+            hash_functions=cfg.hash_functions,
+            mode=cfg.mode,
+        )
+        icfg.true_max_fp, icfg.true_avg_fp = sizing.true_false_positive(
+            hashes_count, icfg.max_hashes_bin, icfg.bin_size_bits,
+            icfg.hash_functions,
+        )
+        if icfg.n_bins == 0:
+            raise ValueError("no valid sequences to build")
+        splits = sizing.split_target_bins(icfg, hashes_count)
+        bits = pipe.scatter(icfg)
+    finally:
+        pipe.close()
+    ibf = IBF(
+        bits, icfg, hashes_count,
+        [(binno, target) for binno, target, _, _ in splits],
     )
-    # drop targets with zero hashes (sequences all too short)
-    target_hashes = {t: h for t, h in target_hashes.items() if len(h)}
-    if not target_hashes:
-        raise ValueError("No valid sequences to build")
-    ibf = build_ibf(
-        target_hashes,
-        kmer_size=cfg.kmer_size,
-        window_size=cfg.window_size,
-        max_fp=cfg.max_fp,
-        filter_size=cfg.filter_size,
-        hash_functions=cfg.hash_functions,
-        mode=cfg.mode,
-    )
+    return _finish_build(cfg, ibf, stats)
+
+
+def _finish_build(cfg: BuildConfig, ibf: IBF, stats: BuildStats) -> IBF:
     if cfg.output_file:
         if cfg.filter_format == "reference":
             from ganon_tpu.index import serialize

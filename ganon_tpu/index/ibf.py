@@ -184,18 +184,27 @@ def _scatter_chunk_jit():
         # pad entries -> sentinel that sorts last and is masked out
         sentinel = jnp.uint64(bin_size) * technical
         bidx = jnp.where(valid[:, None], bidx, sentinel).reshape(-1)
-        hi = (bidx >> jnp.uint64(32)).astype(jnp.uint32)
-        lo = bidx.astype(jnp.uint32)
-        hi_s, lo_s = jax.lax.sort((hi, lo), dimension=0, num_keys=2)
+        # columnsort (ops/bigsort.py): a rank-1 lax.sort at multi-million
+        # sizes costs minutes of XLA compile time; +1 bias frees the
+        # all-zeros tuple for the strict lo_pad
+        from ganon_tpu.ops.bigsort import sort_flat
+
+        b1 = bidx + jnp.uint64(1)
+        hi = (b1 >> jnp.uint64(32)).astype(jnp.uint32)
+        lo = b1.astype(jnp.uint32)
+        hi_s, lo_s = sort_flat(
+            (hi, lo), 2, lo_pad=(0, 0), hi_pad=(0xFFFFFFFF, 0xFFFFFFFF)
+        )
         first = jnp.concatenate(
             [
                 jnp.ones((1,), dtype=bool),
                 (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
             ]
         )
-        sbidx = (hi_s.astype(jnp.uint64) << jnp.uint64(32)) | lo_s.astype(
-            jnp.uint64
-        )
+        sbidx = (
+            (hi_s.astype(jnp.uint64) << jnp.uint64(32))
+            | lo_s.astype(jnp.uint64)
+        ) - jnp.uint64(1)
         uniq = first & (sbidx < sentinel)
         # word index unconditionally from the sorted bit index: keeps the
         # index vector truly sorted (required by indices_are_sorted=True).

@@ -21,14 +21,15 @@ _lib = None
 _tried = False
 
 
-def _build_lib() -> str | None:
-    with open(_SRC, "rb") as f:
+def _compile(src: str, name: str, extra: list[str] = []) -> str | None:
+    """Lazily compile one native source into a content-addressed .so."""
+    with open(src, "rb") as f:
         tag = hashlib.sha1(f.read()).hexdigest()[:12]
-    so = os.path.join(_DIR, f"_seqio_{tag}.so")
+    so = os.path.join(_DIR, f"_{name}_{tag}.so")
     if os.path.exists(so):
         return so
     cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-lz", "-o",
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, *extra, "-o",
         so + ".tmp",
     ]
     try:
@@ -36,8 +37,12 @@ def _build_lib() -> str | None:
         os.replace(so + ".tmp", so)
         return so
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
-        print(f"ganon-tpu: native seqio build failed: {e}", file=sys.stderr)
+        print(f"ganon-tpu: native {name} build failed: {e}", file=sys.stderr)
         return None
+
+
+def _build_lib() -> str | None:
+    return _compile(_SRC, "seqio", ["-lz"])
 
 
 def _load():
@@ -128,6 +133,95 @@ class NativeSeqReader:
     def close(self):
         if self._h:
             self._lib.seqio_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+# --------------------------------------------------------------------------
+# native LCA (Euler + sparse-table RMQ; classify/lca.py routes here)
+
+_lca_lib = None
+_lca_tried = False
+
+
+def _load_lca():
+    global _lca_lib, _lca_tried
+    if _lca_tried:
+        return _lca_lib
+    _lca_tried = True
+    if os.environ.get("GANON_TPU_NO_NATIVE"):
+        return None
+    so = _compile(os.path.join(_DIR, "lca.cpp"), "lca")
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.lca_build.restype = ctypes.c_void_p
+    lib.lca_build.argtypes = [
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
+    lib.lca_free.argtypes = [ctypes.c_void_p]
+    lib.lca_reachable.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)
+    ]
+    lib.lca_pair.restype = ctypes.c_int32
+    lib.lca_pair.argtypes = [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
+    lib.lca_list.restype = ctypes.c_int32
+    lib.lca_list.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64
+    ]
+    _lca_lib = lib
+    return lib
+
+
+class NativeLCA:
+    """Integer-id LCA index (Euler walk + RMQ) backed by native/lca.cpp."""
+
+    @staticmethod
+    def available() -> bool:
+        return _load_lca() is not None
+
+    def __init__(self, parents: np.ndarray, children: np.ndarray,
+                 n_nodes: int, root: int):
+        lib = _load_lca()
+        if lib is None:
+            raise RuntimeError("native lca unavailable")
+        self._lib = lib
+        p = np.ascontiguousarray(parents, dtype=np.int32)
+        c = np.ascontiguousarray(children, dtype=np.int32)
+        self._h = lib.lca_build(
+            n_nodes, len(p),
+            p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            root,
+        )
+        self.n_nodes = n_nodes
+
+    def reachable(self) -> np.ndarray:
+        out = np.zeros(self.n_nodes, dtype=np.uint8)
+        self._lib.lca_reachable(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        )
+        return out.astype(bool)
+
+    def pair(self, u: int, v: int) -> int:
+        return self._lib.lca_pair(self._h, u, v)
+
+    def lca_list(self, nodes: np.ndarray) -> int:
+        a = np.ascontiguousarray(nodes, dtype=np.int32)
+        return self._lib.lca_list(
+            self._h, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(a)
+        )
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.lca_free(self._h)
             self._h = None
 
     def __del__(self):

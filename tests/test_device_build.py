@@ -1,0 +1,179 @@
+"""Device-resident build pipeline: bit-identical to the host-array path."""
+
+import numpy as np
+import pytest
+
+from ganon_tpu.index import sizing
+from ganon_tpu.index.config import IBFConfig
+from ganon_tpu.index.device_build import DeviceBuildPipeline
+from ganon_tpu.index.ibf import build_ibf
+from ganon_tpu.ops.minimizers import encode_seqs
+
+K, W = 19, 31
+BASES = "ACGT"
+
+
+def _random_seq(rng, n):
+    return "".join(BASES[b] for b in rng.integers(0, 4, size=n))
+
+
+def _host_path(seq_files, **kw):
+    """Reference host path: per-file unique hashes -> build_ibf."""
+    from ganon_tpu.index.builder import sequence_hashes
+
+    target_hashes = {}
+    for target, files in seq_files.items():
+        parts = []
+        for seqs in files:
+            hs = [sequence_hashes(s, K, W) for s in seqs]
+            hs = [h for h in hs if len(h)]
+            if hs:
+                parts.append(np.unique(np.concatenate(hs)))
+        target_hashes[target] = (
+            np.concatenate(parts) if parts else np.empty(0, np.uint64)
+        )
+    target_hashes = {t: h for t, h in target_hashes.items() if len(h)}
+    return build_ibf(target_hashes, kmer_size=K, window_size=W, **kw)
+
+
+def _device_path(seq_files, **kw):
+    pipe = DeviceBuildPipeline(K, W)
+    try:
+        for target, files in seq_files.items():
+            for fi, seqs in enumerate(files):
+                for s in seqs:
+                    enc, _ = encode_seqs([s], max_len=len(s))
+                    pipe.add_sequence((target, fi), enc[0])
+        pipe.finish_counts()
+        hashes_count = {t: c for t, c in pipe.hashes_count().items() if c}
+        icfg = IBFConfig(kmer_size=K, window_size=W)
+        sizing.optimal_hashes(
+            kw.get("max_fp", 0.05), kw.get("filter_size", 0.0), icfg,
+            hashes_count, hash_functions=kw.get("hash_functions", 0),
+            mode=kw.get("mode", "avg"),
+        )
+        bits = pipe.scatter(icfg)
+        return bits, hashes_count, icfg
+    finally:
+        pipe.close()
+
+
+def _mkinput(rng, n_targets=3, files_per_target=2, seqs_per_file=2,
+             seq_len=4000):
+    return {
+        f"T{t}": [
+            [_random_seq(rng, seq_len) for _ in range(seqs_per_file)]
+            for _ in range(files_per_target)
+        ]
+        for t in range(n_targets)
+    }
+
+
+def test_counts_match_host():
+    rng = np.random.default_rng(7)
+    seq_files = _mkinput(rng)
+    ibf = _host_path(seq_files, max_fp=0.05)
+    _, hashes_count, _ = _device_path(seq_files, max_fp=0.05)
+    assert hashes_count == ibf.hashes_count
+
+
+def test_bits_identical_to_host():
+    rng = np.random.default_rng(8)
+    seq_files = _mkinput(rng)
+    ibf = _host_path(seq_files, max_fp=0.05)
+    bits, hashes_count, icfg = _device_path(seq_files, max_fp=0.05)
+    assert icfg.bin_size_bits == ibf.ibf_config.bin_size_bits
+    assert icfg.n_bins == ibf.ibf_config.n_bins
+    assert bits.shape == ibf.bits.shape
+    assert np.array_equal(bits, ibf.bits)
+
+
+def test_bits_identical_multibin_split():
+    """Small max_hashes_bin forces targets across several technical bins
+    (index-range split consistency across files)."""
+    rng = np.random.default_rng(9)
+    seq_files = _mkinput(rng, n_targets=2, files_per_target=3,
+                         seqs_per_file=1, seq_len=9000)
+    # filter_size path -> small bins, multiple splits
+    ibf = _host_path(seq_files, max_fp=0.05)
+    assert ibf.ibf_config.n_bins >= 2
+    bits, _, icfg = _device_path(seq_files, max_fp=0.05)
+    assert np.array_equal(bits, ibf.bits)
+
+
+def test_duplicate_across_files_double_counted():
+    """Reference: dedup within a file; across files of one target the
+    same hash is stored and counted twice (GanonBuild.cpp:225-240)."""
+    rng = np.random.default_rng(10)
+    s = _random_seq(rng, 3000)
+    seq_files = {"T0": [[s], [s]]}
+    _, hashes_count, _ = _device_path(seq_files, max_fp=0.05)
+    ibf = _host_path(seq_files, max_fp=0.05)
+    assert hashes_count["T0"] == ibf.hashes_count["T0"]
+    from ganon_tpu.index.builder import sequence_hashes
+
+    n1 = len(sequence_hashes(s, K, W))
+    assert hashes_count["T0"] == 2 * n1
+
+
+def test_cache_trim_reextraction():
+    """Dropping the device cache forces pass-2 re-extraction from the
+    spill; results stay identical."""
+    rng = np.random.default_rng(11)
+    seq_files = _mkinput(rng, n_targets=2, files_per_target=1,
+                         seqs_per_file=2, seq_len=5000)
+    ibf = _host_path(seq_files, max_fp=0.05)
+
+    pipe = DeviceBuildPipeline(K, W, device_cache_bytes=0)  # trim everything
+    try:
+        for target, files in seq_files.items():
+            for fi, seqs in enumerate(files):
+                for s in seqs:
+                    enc, _ = encode_seqs([s], max_len=len(s))
+                    pipe.add_sequence((target, fi), enc[0])
+        pipe.finish_counts()
+        hashes_count = {t: c for t, c in pipe.hashes_count().items() if c}
+        assert hashes_count == ibf.hashes_count
+        bits = pipe.scatter(ibf.ibf_config)
+        assert np.array_equal(bits, ibf.bits)
+    finally:
+        pipe.close()
+
+
+def test_long_sequence_chunking():
+    """A sequence spanning multiple CHUNK pieces dedups across pieces."""
+    rng = np.random.default_rng(12)
+    from ganon_tpu.index.device_build import CHUNK
+
+    s = _random_seq(rng, CHUNK + CHUNK // 2)
+    seq_files = {"T0": [[s]]}
+    ibf = _host_path(seq_files, max_fp=0.05)
+    bits, hashes_count, _ = _device_path(seq_files, max_fp=0.05)
+    assert hashes_count == ibf.hashes_count
+    assert np.array_equal(bits, ibf.bits)
+
+
+def test_run_build_device_matches_host(tmp_path, monkeypatch):
+    """run_build with the device pipeline writes the same .ibf as the
+    host-array path (CLI-level A/B on the reference mini data)."""
+    import glob
+
+    from ganon_tpu.index.builder import BuildConfig, run_build
+    from ganon_tpu.index.ibf import IBF
+
+    D = "/root/reference/tests/ganon/data/build-custom/files"
+    files = sorted(glob.glob(D + "/*.fna.gz"))[:2]
+    if not files:
+        pytest.skip("reference mini data unavailable")
+    ti = tmp_path / "ti.tsv"
+    ti.write_text("".join(f"{f}\t{i}\n" for i, f in enumerate(files)))
+
+    outs = {}
+    for mode in ("host", "device"):
+        monkeypatch.setenv("GANON_TPU_BUILD_PIPELINE", mode)
+        out = tmp_path / f"db_{mode}.ibf"
+        run_build(BuildConfig(input_file=str(ti), output_file=str(out)))
+        outs[mode] = IBF.load(str(out))
+    assert outs["host"].hashes_count == outs["device"].hashes_count
+    assert np.array_equal(outs["host"].bits, outs["device"].bits)
+    assert outs["host"].bin_map == outs["device"].bin_map
