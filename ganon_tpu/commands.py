@@ -15,8 +15,36 @@ from ganon_tpu.util import check_file, find_rep_files, print_log
 
 
 def classify(cfg) -> bool:
-    """ganon classify: engine + optional reassign (EM) + report."""
+    """ganon classify: engine + optional reassign (EM) + report.
+
+    Multi-host: when the jax distributed runtime spans several
+    processes (``--distributed`` or JAX_COORDINATOR_ADDRESS), read
+    files are partitioned per host and each host writes under
+    ``{output_prefix}.h{process_index}`` (parallel/multihost.py) —
+    the TPU-native shape of the reference's --batch-reads file-level
+    parallelism.
+    """
     from ganon_tpu.classify.engine import ClassifyConfig, run_classify
+    from ganon_tpu.parallel import multihost
+
+    pidx, pcount = multihost.maybe_initialize(
+        force=getattr(cfg, "distributed", False)
+    )
+    if pcount > 1:
+        cfg.single_reads, cfg.paired_reads, cfg.batch_reads = (
+            multihost.shard_reads(
+                cfg.single_reads, cfg.paired_reads, cfg.batch_reads,
+                pidx, pcount,
+            )
+        )
+        cfg.output_prefix = multihost.host_output_prefix(
+            cfg.output_prefix, pidx, pcount
+        )
+        if not (cfg.single_reads or cfg.paired_reads or cfg.batch_reads):
+            print_log(
+                f"host {pidx}: no input files in this shard", cfg.quiet
+            )
+            return True
 
     filter_files = []
     tax_files = []

@@ -299,6 +299,10 @@ class Config:
         cl.add_argument("--longreads", action="store_true", default=False,
                         help="Use 32-bit counters (reads with >65535 "
                              "minimizers)")
+        cl.add_argument("--distributed", action="store_true", default=False,
+                        help="Initialize the jax multi-host runtime; read "
+                             "files are partitioned per host and outputs "
+                             "written under {prefix}.h{host}")
         cl.add_argument("--verbose", action="store_true", default=False)
         cl.add_argument("--quiet", action="store_true", default=False)
 

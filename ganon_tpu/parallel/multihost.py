@@ -1,0 +1,75 @@
+"""Multi-host runtime wiring.
+
+The reference's only multi-node notion is embarrassingly parallel
+file-level batching (``--batch-reads``, GanonClassify.cpp:289-351). The
+TPU-native equivalent keeps that shape: every host runs the same CLI
+command; ``jax.distributed.initialize`` wires the processes into one
+runtime; read files are partitioned per host (host-side parsing/writing
+stays local, mirroring the reference's reader/writer threads); the
+device mesh spans all chips so bin-sharded filters ride ICI within a
+slice and DCN across hosts.
+
+Outputs: each host writes its shard's outputs under
+``{output_prefix}.h{process_index}`` unless it owns the whole input.
+``ganon-tpu report``/``table`` accept many ``.rep`` inputs, so the
+per-host reports merge downstream exactly like ``--batch-reads``
+outputs do.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def maybe_initialize(force: bool = False) -> tuple[int, int]:
+    """Initialize the jax distributed runtime when configured.
+
+    Triggers on ``--distributed`` (force=True) or the standard
+    coordination env (JAX_COORDINATOR_ADDRESS / jax.distributed's own
+    auto-detection on TPU pods). Returns (process_index, process_count).
+    Safe to call repeatedly.
+    """
+    import jax
+
+    want = force or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if want:
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized
+    try:
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+def shard_reads(single, paired, batch, process_index: int,
+                process_count: int):
+    """Partition read inputs across hosts (file-level, round-robin).
+
+    ``paired`` is a flat [r1a, r2a, r1b, r2b, ...] list — pairs stay
+    together. Returns (single, paired, batch) shards for this host; a
+    host can receive empty shards when files < hosts.
+    """
+    if process_count <= 1:
+        return single, paired, batch
+
+    def pick(items):
+        return [f for i, f in enumerate(items)
+                if i % process_count == process_index]
+
+    pairs = [tuple(paired[i : i + 2]) for i in range(0, len(paired), 2)]
+    my_pairs = pick(pairs)
+    return (
+        pick(single),
+        [f for p in my_pairs for f in p],
+        pick(batch),
+    )
+
+
+def host_output_prefix(prefix: str, process_index: int,
+                       process_count: int) -> str:
+    """Per-host output prefix (merge downstream via report/table)."""
+    if process_count <= 1 or not prefix:
+        return prefix
+    return f"{prefix}.h{process_index}"
