@@ -6,14 +6,27 @@ probabilities with unique-match counts, iteratively reassigns every
 multi-match read to its highest-probability target (ties -> first match),
 rewrites ``.one`` (unique passthrough + winners) and ``.rep`` (lca column
 becomes reassigned - unique).
+
+The EM core is vectorized over flat match arrays (segment max/argmin via
+``np.ufunc.reduceat``) instead of per-read dict walks — identical outputs
+(verified by a differential test against the naive implementation), ~two
+orders of magnitude faster on production-size ``.all`` files. Subtle
+semantics preserved exactly: the ``.rep`` reassigned counts come from the
+winners of the LAST EM iteration (pre-update probabilities), while
+``.one`` winners are recomputed with the final post-update probabilities;
+ties keep the first match in file order; all-zero probabilities fall back
+to each read's first match (reference ``get_top_match``,
+reassign.py:227-241).
 """
 
 from __future__ import annotations
 
+import csv
 import os
 import pathlib
-import sys
 from dataclasses import dataclass, field
+
+import numpy as np
 
 
 @dataclass
@@ -38,15 +51,88 @@ def find_rep_files(prefix: str):
     return sorted(glob.glob(prefix + "*.rep"))
 
 
-def get_top_match(matches, prob):
-    """Highest-probability target; all-zero prob -> first match."""
-    target, kcount = matches[0]
-    max_p = 0.0
-    for m, k in matches:
-        if prob[m] > max_p:
-            max_p = prob[m]
-            target, kcount = m, k
-    return target, kcount
+def _load_all(af: str):
+    """Parse one ``.all`` file into flat arrays.
+
+    Returns (read_names, target_names, r_s, t_s, k_s, seg_starts,
+    seg_len) where the match arrays are stably sorted by read id code —
+    one contiguous segment per read, matches in file order within a
+    segment, reads/targets coded in first-occurrence order (matching the
+    reference's insertion-order dicts).
+    """
+    import pandas as pd
+
+    df = pd.read_csv(
+        af,
+        sep="\t",
+        header=None,
+        names=["read", "target", "k"],
+        dtype={"read": str, "target": str, "k": np.int64},
+        na_filter=False,
+        quoting=csv.QUOTE_NONE,
+        engine="c",
+    )
+    if len(df) == 0:
+        e = np.empty(0, np.int64)
+        return [], [], e, e, e, e, e
+    rcodes, rnames = pd.factorize(df["read"])
+    tcodes, tnames = pd.factorize(df["target"])
+    k = df["k"].to_numpy()
+    order = np.argsort(rcodes, kind="stable")
+    r_s = np.asarray(rcodes)[order]
+    t_s = np.asarray(tcodes)[order]
+    k_s = k[order]
+    seg_starts = np.flatnonzero(np.r_[True, r_s[1:] != r_s[:-1]])
+    seg_len = np.diff(np.r_[seg_starts, len(r_s)])
+    return list(rnames), list(tnames), r_s, t_s, k_s, seg_starts, seg_len
+
+
+def _winners(prob, t_s, seg_starts, seg_of_match):
+    """Per-read winning match position: first match whose target
+    probability equals the segment max (all-zero segment -> first match,
+    matching reference get_top_match's strict ``>`` against 0.0)."""
+    n = len(t_s)
+    pm = prob[t_s]
+    segmax = np.maximum.reduceat(pm, seg_starts)
+    cand = np.where(pm == segmax[seg_of_match], np.arange(n), n)
+    return np.minimum.reduceat(cand, seg_starts)
+
+
+def _em(t_s, seg_starts, seg_len, n_targets, max_iter, threshold):
+    """Run the EM loop; returns (reassigned counts [T] from the last
+    iteration's pre-update winners, final prob [T])."""
+    n_matches = len(t_s)
+    n_reads = len(seg_starts)
+    multi = seg_len > 1
+    unique_tid = t_s[seg_starts[~multi]]
+    initial_weight = np.bincount(unique_tid, minlength=n_targets).astype(
+        np.int64
+    )
+    total_initial = int(initial_weight.sum())
+    prob = initial_weight / (total_initial if total_initial else 1)
+    seg_of_match = np.repeat(np.arange(n_reads), seg_len)
+
+    reassigned = initial_weight.copy()
+    em_ite = 0
+    while True:
+        if n_matches:
+            win_pos = _winners(prob, t_s, seg_starts, seg_of_match)
+            reassigned = initial_weight + np.bincount(
+                t_s[win_pos[multi]], minlength=n_targets
+            )
+        new_prob = (
+            reassigned / n_reads
+            if n_reads
+            else np.zeros(n_targets)
+        )
+        diff = float(np.abs(prob - new_prob).sum())
+        prob = new_prob
+        if diff <= threshold:
+            break
+        if max_iter > 0 and em_ite == max_iter - 1:
+            break
+        em_ite += 1
+    return reassigned, prob
 
 
 def reassign(cfg: ReassignConfig) -> bool:
@@ -91,47 +177,16 @@ def reassign(cfg: ReassignConfig) -> bool:
 
         new_rep = []
         for hierarchy, af in all_files.items():
-            targets: dict[str, int] = {}
-            read_matches: dict[str, list[tuple[int, int]]] = {}
-            initial_weight: dict[int, int] = {}
-            with open(af) as f:
-                for line in f:
-                    readid, target, kcount = line.rstrip("\n").split("\t")
-                    tid = targets.setdefault(target, len(targets))
-                    read_matches.setdefault(readid, []).append(
-                        (tid, int(kcount))
-                    )
-                    initial_weight.setdefault(tid, 0)
+            (
+                rnames, tnames, _r_s, t_s, k_s, seg_starts, seg_len,
+            ) = _load_all(af)
+            n_targets = len(tnames)
+            n_reads = len(seg_starts)
 
-            total_weight = len(read_matches)
-            total_initial_weight = 0
-            for matches in read_matches.values():
-                if len(matches) == 1:
-                    total_initial_weight += 1
-                    initial_weight[matches[0][0]] += 1
-            if total_initial_weight == 0:
-                total_initial_weight = 1
-            prob = {
-                t: u / total_initial_weight for t, u in initial_weight.items()
-            }
-
-            em_ite = 0
-            while True:
-                reassigned = dict(initial_weight)
-                for matches in read_matches.values():
-                    if len(matches) > 1:
-                        t, _ = get_top_match(matches, prob)
-                        reassigned[t] += 1
-                diff = 0.0
-                for t, count in reassigned.items():
-                    new_prob = count / total_weight if total_weight else 0
-                    diff += abs(prob[t] - new_prob)
-                    prob[t] = new_prob
-                if diff <= cfg.threshold:
-                    break
-                if cfg.max_iter > 0 and em_ite == cfg.max_iter - 1:
-                    break
-                em_ite += 1
+            reassigned, prob = _em(
+                t_s, seg_starts, seg_len, n_targets,
+                cfg.max_iter, cfg.threshold,
+            )
 
             if not cfg.skip_one:
                 one_out = (
@@ -139,16 +194,23 @@ def reassign(cfg: ReassignConfig) -> bool:
                     if len(all_files) == 1
                     else out_prefix + "." + hierarchy + ".one"
                 )
-                targets_rev = {v: k for k, v in targets.items()}
                 with open(one_out, "w") as f:
-                    for readid, matches in read_matches.items():
-                        if len(matches) == 1:
-                            t, k = matches[0]
-                        else:
-                            t, k = get_top_match(matches, prob)
-                        f.write(f"{readid}\t{targets_rev[t]}\t{k}\n")
+                    if n_reads:
+                        seg_of_match = np.repeat(
+                            np.arange(n_reads), seg_len
+                        )
+                        win_pos = _winners(
+                            prob, t_s, seg_starts, seg_of_match
+                        )
+                        win_t = t_s[win_pos]
+                        win_k = k_s[win_pos]
+                        f.writelines(
+                            f"{rnames[r]}\t{tnames[win_t[r]]}\t{win_k[r]}\n"
+                            for r in range(n_reads)
+                        )
 
             if rep_file_out:
+                tmap = {t: i for i, t in enumerate(tnames)}
                 with open(rep_file) as f:
                     for line in f:
                         if line[0] == "#":
@@ -159,13 +221,13 @@ def reassign(cfg: ReassignConfig) -> bool:
                         unique = int(fields[3])
                         rank = fields[5] if len(fields) >= 6 else ""
                         name = fields[6] if len(fields) >= 7 else ""
-                        if (hierarchy == "" or h_name == hierarchy) and targets.get(
-                            target
-                        ) in reassigned:
+                        if (
+                            hierarchy == "" or h_name == hierarchy
+                        ) and target in tmap:
                             new_rep.append(
                                 [
                                     h_name, target, direct, unique,
-                                    reassigned[targets[target]] - unique,
+                                    int(reassigned[tmap[target]]) - unique,
                                     rank, name,
                                 ]
                             )
