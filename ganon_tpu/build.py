@@ -675,6 +675,8 @@ def build_custom(cfg, which_call: str = "build_custom") -> bool:
                 window_size=cfg.window_size,
                 hash_functions=cfg.hash_functions,
                 max_fp=cfg.max_fp,
+                min_length=cfg.min_length,
+                threads=getattr(cfg, "threads", 1) or 1,
                 quiet=cfg.quiet,
             )
         else:
@@ -688,6 +690,7 @@ def build_custom(cfg, which_call: str = "build_custom") -> bool:
                 hash_functions=cfg.hash_functions,
                 mode=cfg.mode,
                 min_length=cfg.min_length,
+                threads=getattr(cfg, "threads", 1) or 1,
                 quiet=cfg.quiet,
                 verbose=cfg.verbose,
                 filter_format=getattr(cfg, "filter_format", "tpu"),

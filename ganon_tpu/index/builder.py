@@ -60,6 +60,7 @@ class BuildConfig:
     hash_functions: int = 0
     mode: str = "avg"
     min_length: int = 0
+    threads: int = 1
     quiet: bool = True
     verbose: bool = False
     filter_format: str = "tpu"  # tpu (npz) | reference (cereal, cross-loadable)
@@ -247,63 +248,185 @@ def sequence_hashes(seq: str, k: int, w: int) -> np.ndarray:
     return res.get(0, np.empty(0, dtype=np.uint64))
 
 
+def _use_native_reader(min_length: int) -> bool:
+    if min_length >= CHUNK:
+        return False
+    try:
+        from ganon_tpu.native import NativeSeqReader
+
+        return NativeSeqReader.available()
+    except Exception:
+        return False
+
+
+def _file_piece_batches(
+    path: str, window_size: int, min_length: int, use_native: bool
+):
+    """Yield ``(rows, (seqs, skipped, bp))`` batches for one file.
+
+    ``rows`` is a list of dna4-encoded piece arrays (chunks of one or
+    more sequences, ``window_size - 1`` overlap between chunks of the
+    same sequence). Pure function of the file — safe to run on a reader
+    thread (the native parser releases the GIL through ctypes).
+    """
+    from ganon_tpu.io.pipeline import native_supported
+
+    if use_native and native_supported(path):
+        from ganon_tpu.native import NativeSeqReader
+
+        reader = NativeSeqReader(path)
+        try:
+            while True:
+                codes, lens, (seqs, skipped, bp) = reader.next_pieces(
+                    PIECES_PER_BATCH, CHUNK, window_size - 1, min_length
+                )
+                if not len(codes):
+                    break
+                rows = [codes[i, : lens[i]] for i in range(len(codes))]
+                yield rows, (seqs - skipped, skipped, bp)
+        finally:
+            reader.close()
+    else:
+        step = CHUNK - (window_size - 1)
+        for _id, seq in SequenceReader(path):
+            if len(seq) < min_length:
+                yield [], (0, 1, 0)
+                continue
+            rows = []
+            if len(seq) >= window_size:
+                for s in range(0, max(len(seq) - window_size + 1, 1), step):
+                    piece = seq[s : s + CHUNK]
+                    enc, _ = encode_seqs([piece], max_len=len(piece))
+                    rows.append(enc[0])
+            yield rows, (1, 0, len(seq))
+
+
 def iter_pieces(
     input_map: dict[str, list[str]],
     *,
     window_size: int,
     min_length: int = 0,
     stats: BuildStats | None = None,
+    threads: int = 1,
 ):
     """Yield ``(key=(target, file_index), dna4-encoded piece row)``.
 
     Pieces are sequence chunks with ``window_size - 1`` overlap so every
     window is covered by exactly one piece. Pieces of one file arrive
-    consecutively. Uses the native C++ reader (parse + chunk + encode in
-    one pass) when available.
+    consecutively and files arrive in input order (the bin-split layout
+    depends on arrival order, so the stream must be deterministic).
+    Uses the native C++ reader (parse + chunk + encode in one pass) when
+    available; with ``threads > 1``, reader threads prefetch upcoming
+    files in parallel (the reference's thread pool over per-target work
+    items, GanonBuild.cpp:810-828) while this generator drains files
+    strictly in order.
     """
     stats = stats if stats is not None else BuildStats()
-    use_native = min_length < CHUNK
-    if use_native:
-        try:
-            from ganon_tpu.native import NativeSeqReader
+    use_native = _use_native_reader(min_length)
+    entries = [
+        ((target, fi), path)
+        for target, files in input_map.items()
+        for fi, path in enumerate(files)
+    ]
+    if threads > 1 and len(entries) > 1:
+        yield from _iter_pieces_parallel(
+            entries, window_size, min_length, stats, use_native,
+            threads=threads,
+        )
+        return
+    for key, path in entries:
+        for rows, (seqs, skipped, bp) in _file_piece_batches(
+            path, window_size, min_length, use_native
+        ):
+            stats.sequences += seqs
+            stats.skipped_sequences += skipped
+            stats.length_bp += bp
+            for row in rows:
+                yield key, row
 
-            use_native = NativeSeqReader.available()
-        except Exception:
-            use_native = False
-    from ganon_tpu.io.pipeline import native_supported
 
-    for target, files in input_map.items():
-        for fi, path in enumerate(files):
-            key = (target, fi)
-            if use_native and native_supported(path):
-                reader = NativeSeqReader(path)
-                while True:
-                    codes, lens, (seqs, skipped, bp) = reader.next_pieces(
-                        PIECES_PER_BATCH, CHUNK, window_size - 1, min_length
-                    )
-                    stats.sequences += seqs - skipped
-                    stats.skipped_sequences += skipped
-                    stats.length_bp += bp
-                    if not len(codes):
-                        break
-                    for i in range(len(codes)):
-                        yield key, codes[i, : lens[i]]
-                reader.close()
-            else:
-                step = CHUNK - (window_size - 1)
-                for _id, seq in SequenceReader(path):
-                    if len(seq) < min_length:
-                        stats.skipped_sequences += 1
-                        continue
-                    stats.sequences += 1
-                    stats.length_bp += len(seq)
-                    if len(seq) < window_size:
-                        continue
-                    for s in range(0, max(len(seq) - window_size + 1, 1),
-                                   step):
-                        piece = seq[s : s + CHUNK]
-                        enc, _ = encode_seqs([piece], max_len=len(piece))
-                        yield key, enc[0]
+def _iter_pieces_parallel(
+    entries, window_size, min_length, stats, use_native, *,
+    threads: int, queue_batches: int = 4,
+):
+    """Reader-thread prefetch behind :func:`iter_pieces`.
+
+    Each worker claims the next unclaimed file (bounded to a lookahead
+    window past the consumer position, so buffered batches stay
+    bounded: ~lookahead x queue_batches x PIECES_PER_BATCH pieces) and
+    streams its batches into that file's own bounded queue; the
+    consumer drains file queues strictly in input order, so the yielded
+    stream is identical to the serial path's.
+    """
+    import queue as queue_mod
+    import threading
+
+    n = len(entries)
+    threads = min(threads, n)
+    lookahead = threading.Semaphore(threads * 2)
+    stop = threading.Event()
+    next_file = [0]
+    claim_lock = threading.Lock()
+    stats_lock = threading.Lock()
+    queues = [queue_mod.Queue(maxsize=queue_batches) for _ in range(n)]
+    _DONE = object()
+
+    def _put(q, item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
+    def worker():
+        while not stop.is_set():
+            lookahead.acquire()
+            with claim_lock:
+                i = next_file[0]
+                if i >= n:
+                    lookahead.release()
+                    return
+                next_file[0] = i + 1
+            _, path = entries[i]
+            q = queues[i]
+            try:
+                for rows, deltas in _file_piece_batches(
+                    path, window_size, min_length, use_native
+                ):
+                    with stats_lock:
+                        stats.sequences += deltas[0]
+                        stats.skipped_sequences += deltas[1]
+                        stats.length_bp += deltas[2]
+                    if rows and not _put(q, rows):
+                        return
+                _put(q, _DONE)
+            except BaseException as e:  # surfaced by the consumer
+                _put(q, e)
+
+    workers = [
+        threading.Thread(target=worker, daemon=True) for _ in range(threads)
+    ]
+    for t in workers:
+        t.start()
+    try:
+        for i in range(n):
+            key = entries[i][0]
+            q = queues[i]
+            while True:
+                item = q.get()
+                if item is _DONE:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                for row in item:
+                    yield key, row
+            lookahead.release()  # let workers claim one more file ahead
+    finally:
+        stop.set()
+        for t in workers:
+            t.join(timeout=10)
 
 
 def count_target_hashes(
@@ -313,6 +436,7 @@ def count_target_hashes(
     window_size: int,
     min_length: int = 0,
     stats: BuildStats | None = None,
+    threads: int = 1,
 ) -> dict[str, np.ndarray]:
     """{target: concatenated per-file unique minimizer arrays}.
 
@@ -328,7 +452,7 @@ def count_target_hashes(
         file_keys[target] = [(target, fi) for fi in range(len(files))]
     for key, row in iter_pieces(
         input_map, window_size=window_size, min_length=min_length,
-        stats=stats,
+        stats=stats, threads=threads,
     ):
         ex.add_encoded(key, row)
     per_file = ex.finish()
@@ -377,6 +501,7 @@ def run_build(cfg: BuildConfig) -> IBF:
             window_size=cfg.window_size,
             min_length=cfg.min_length,
             stats=stats,
+            threads=cfg.threads,
         )
         target_hashes = {t: h for t, h in target_hashes.items() if len(h)}
         if not target_hashes:
@@ -400,7 +525,7 @@ def run_build(cfg: BuildConfig) -> IBF:
     try:
         for key, row in iter_pieces(
             input_map, window_size=cfg.window_size,
-            min_length=cfg.min_length, stats=stats,
+            min_length=cfg.min_length, stats=stats, threads=cfg.threads,
         ):
             pipe.add_encoded(key, row)
         pipe.finish_counts()

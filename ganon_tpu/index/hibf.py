@@ -195,7 +195,7 @@ def build_hibf(
 def run_build_hibf(
     *, target_info_file: str, output_file: str, kmer_size: int,
     window_size: int, hash_functions: int = 0, max_fp: float = 0.001,
-    min_length: int = 0, quiet: bool = True,
+    min_length: int = 0, threads: int = 1, quiet: bool = True,
 ) -> HIBF:
     """Count hashes from a target_info file and build/save an HIBF."""
     from ganon_tpu.index.builder import (
@@ -210,7 +210,7 @@ def run_build_hibf(
         raise ValueError("No valid input files")
     target_hashes = count_target_hashes(
         input_map, kmer_size=kmer_size, window_size=window_size,
-        min_length=min_length, stats=stats,
+        min_length=min_length, stats=stats, threads=threads,
     )
     target_hashes = {t: h for t, h in target_hashes.items() if len(h)}
     if not target_hashes:
