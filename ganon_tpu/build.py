@@ -677,6 +677,13 @@ def build_custom(cfg, which_call: str = "build_custom") -> bool:
                 max_fp=cfg.max_fp,
                 min_length=cfg.min_length,
                 threads=getattr(cfg, "threads", 1) or 1,
+                tpu_sizing=(
+                    getattr(cfg, "tpu_sizing", "auto") != "off"
+                    and (
+                        cfg.hash_functions == 0
+                        or getattr(cfg, "hash_functions_defaulted", False)
+                    )
+                ),
                 quiet=cfg.quiet,
             )
         else:
@@ -691,6 +698,10 @@ def build_custom(cfg, which_call: str = "build_custom") -> bool:
                 mode=cfg.mode,
                 min_length=cfg.min_length,
                 threads=getattr(cfg, "threads", 1) or 1,
+                tpu_sizing=getattr(cfg, "tpu_sizing", "auto") != "off",
+                hash_functions_defaulted=getattr(
+                    cfg, "hash_functions_defaulted", False
+                ),
                 quiet=cfg.quiet,
                 verbose=cfg.verbose,
                 filter_format=getattr(cfg, "filter_format", "tpu"),
@@ -739,8 +750,16 @@ def update(cfg) -> bool:
         "mode", "min_length", "taxonomy", "taxonomy_files", "level",
         "input_target", "filter_type", "genome_size_files",
     ):
-        if key in saved and getattr(cfg, key, None) in (None, "", [], 0):
+        unset = getattr(cfg, key, None) in (None, "", [], 0)
+        if key == "hash_functions":
+            # a defaulted -s 4 must not shadow the saved build's value
+            unset = unset or getattr(cfg, "hash_functions_defaulted", False)
+        if key in saved and unset:
             setattr(cfg, key, saved[key])
+            if key == "hash_functions":
+                cfg.hash_functions_defaulted = saved.get(
+                    "hash_functions_defaulted", False
+                )
 
     acquired = False
     if check_file(os.path.join(files_output_folder, "history.tsv")):

@@ -125,8 +125,14 @@ class Config:
             adv.add_argument("-w", "--window-size", type=unsigned_int(1),
                              default=31, help="window (minimizer) size")
             adv.add_argument("-s", "--hash-functions", type=unsigned_int(0),
-                             default=4, choices=range(6),
-                             help="hash functions (0=auto)")
+                             default=None, choices=range(6),
+                             help="hash functions (0=auto; default 4, but "
+                                  "--tpu-sizing may lower it for large "
+                                  "filters when not set explicitly)")
+            adv.add_argument("--tpu-sizing", type=str, default="auto",
+                             choices=["auto", "off"],
+                             help="throughput-aware hash-function tuning "
+                                  "for HBM-resident filters (ours-only)")
             adv.add_argument("-j", "--mode", type=str, default="avg",
                              choices=cls.choices_mode,
                              help="Filter size/speed trade-off mode")
@@ -402,6 +408,13 @@ class Config:
             if self.max_fp is None:
                 # hibf default fp 0.001, ibf 0.05 (config.py:1256-1267)
                 self.max_fp = 0.001 if self.filter_type == "hibf" else 0.05
+            if getattr(self, "hash_functions", None) is None:
+                # reference default 4; record that it was defaulted so
+                # --tpu-sizing auto may re-tune it for HBM-regime filters
+                self.hash_functions = 4
+                self.hash_functions_defaulted = True
+            else:
+                self.hash_functions_defaulted = False
             if self.filter_size and self.max_fp:
                 self.max_fp = 0  # filter-size wins when both given
             if self.window_size < self.kmer_size:

@@ -61,6 +61,8 @@ class BuildConfig:
     mode: str = "avg"
     min_length: int = 0
     threads: int = 1
+    tpu_sizing: bool = True  # throughput-aware auto hash-function tuning
+    hash_functions_defaulted: bool = False  # h=4 came from the CLI default
     quiet: bool = True
     verbose: bool = False
     filter_format: str = "tpu"  # tpu (npz) | reference (cereal, cross-loadable)
@@ -465,6 +467,11 @@ def count_target_hashes(
     return out
 
 
+def _h_tunable(cfg: BuildConfig) -> bool:
+    """Hash-function count is free to tune: auto (0) or the CLI default."""
+    return cfg.hash_functions == 0 or cfg.hash_functions_defaulted
+
+
 def _use_device_pipeline() -> bool:
     """The device-resident pipeline exists to avoid host<->device
     transfers; on the CPU backend those are memcpys and the host-array
@@ -514,6 +521,7 @@ def run_build(cfg: BuildConfig) -> IBF:
             filter_size=cfg.filter_size,
             hash_functions=cfg.hash_functions,
             mode=cfg.mode,
+            tpu_sizing=cfg.tpu_sizing and _h_tunable(cfg),
         )
         return _finish_build(cfg, ibf, stats)
 
@@ -544,6 +552,12 @@ def run_build(cfg: BuildConfig) -> IBF:
             hash_functions=cfg.hash_functions,
             mode=cfg.mode,
         )
+        if cfg.tpu_sizing and _h_tunable(cfg):
+            sizing.auto_tune_hash_functions(
+                cfg.max_fp if not cfg.filter_size else 0.0,
+                cfg.filter_size, icfg, hashes_count,
+                hash_functions=0, mode=cfg.mode,
+            )
         icfg.true_max_fp, icfg.true_avg_fp = sizing.true_false_positive(
             hashes_count, icfg.max_hashes_bin, icfg.bin_size_bits,
             icfg.hash_functions,

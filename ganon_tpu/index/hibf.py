@@ -159,6 +159,7 @@ def build_hibf(
     max_fp: float = 0.001,
     hash_functions: int = 0,
     num_classes: int = 4,
+    tpu_sizing: bool | None = None,
 ) -> HIBF:
     """Partition targets into size classes and build one IBF per class.
 
@@ -187,6 +188,7 @@ def build_hibf(
                 window_size=window_size,
                 max_fp=max_fp,
                 hash_functions=hash_functions,
+                tpu_sizing=tpu_sizing,
             )
         )
     return HIBF(subs, kmer_size, window_size, max_fp)
@@ -195,7 +197,8 @@ def build_hibf(
 def run_build_hibf(
     *, target_info_file: str, output_file: str, kmer_size: int,
     window_size: int, hash_functions: int = 0, max_fp: float = 0.001,
-    min_length: int = 0, threads: int = 1, quiet: bool = True,
+    min_length: int = 0, threads: int = 1, tpu_sizing: bool | None = None,
+    quiet: bool = True,
 ) -> HIBF:
     """Count hashes from a target_info file and build/save an HIBF."""
     from ganon_tpu.index.builder import (
@@ -218,6 +221,7 @@ def run_build_hibf(
     hibf = build_hibf(
         target_hashes, kmer_size=kmer_size, window_size=window_size,
         max_fp=max_fp, hash_functions=hash_functions,
+        tpu_sizing=tpu_sizing,
     )
     hibf.save(output_file)
     return hibf

@@ -281,6 +281,7 @@ def build_ibf(
     filter_size: float = 0.0,
     hash_functions: int = 0,
     mode: str = "avg",
+    tpu_sizing: bool | None = None,
 ) -> IBF:
     """Build an IBF from per-target minimizer arrays (sorted, deduplicated).
 
@@ -298,6 +299,14 @@ def build_ibf(
         hash_functions=hash_functions,
         mode=mode,
     )
+    # tpu_sizing=True asserts h is tunable (auto or a defaulted -s 4);
+    # None derives it: tune only when h was requested auto
+    tune = hash_functions == 0 if tpu_sizing is None else tpu_sizing
+    if tune:
+        sizing.auto_tune_hash_functions(
+            max_fp if not filter_size else 0.0, filter_size, cfg,
+            hashes_count, hash_functions=0, mode=mode,
+        )
     cfg.true_max_fp, cfg.true_avg_fp = sizing.true_false_positive(
         hashes_count, cfg.max_hashes_bin, cfg.bin_size_bits, cfg.hash_functions
     )

@@ -252,6 +252,98 @@ def optimal_hashes(
             )
 
 
+# --------------------------------------------------------------------------
+# TPU throughput-aware hash-function tuning
+#
+# Measured on TPU v5e (scripts/wide_table_bench.py, production
+# classify_batch_packed kernel): the bulk-count gather costs a fixed
+# per-PROBE price, not per-byte — ~2 ns/probe while the query table is
+# VMEM-staged, and, once the table exceeds the staging budget, an
+# HBM-latency-bound ~(8 + 0.02 * row_bytes) ns/probe:
+#   row_bytes  256: 13 ns   1024: 25-31 ns   4096: 84-134 ns
+# A read costs (n_hashes x hash_functions) probes, so in the HBM regime
+# FEWER hash functions win nearly linearly (measured: T=1024 targets,
+# h=4 -> 210k reads/s, h=2 -> 377k, h=1 -> 679k) while the fp-equivalent
+# table only grows (m/n for fp=0.05: h=4 -> 6.2 bits, h=2 -> 7.9,
+# h=1 -> 19.5). The reference's auto sizing picks h for minimum MEMORY
+# (ln2*m/n ratio, GanonBuild.cpp:308-333) — correct on CPU where
+# bulk_count streams bins linearly, wrong for a TPU gather.
+
+# conservative VMEM staging budget (v5e VMEM is 128 MB; cliffs observed
+# from ~35 MB in some programs — assume staged only when comfortably small)
+VMEM_STAGED_TABLE_BYTES = 32 << 20
+# do not let the tuner grow the filter beyond this (HBM working budget)
+MAX_TUNED_TABLE_BYTES = 6 << 30
+
+
+def probe_cost_ns(table_bytes: int, row_bytes: int) -> float:
+    """Measured per-probe gather cost model (v5e, see module comment)."""
+    if table_bytes <= VMEM_STAGED_TABLE_BYTES:
+        if row_bytes <= 128:
+            return 2.0
+        if row_bytes <= 256:
+            return 2.3
+        if row_bytes <= 512:
+            return 2.8
+        return 2.8 * row_bytes / 512
+    return 8.0 + 0.02 * row_bytes
+
+
+def auto_tune_hash_functions(
+    max_fp: float,
+    filter_size: float,
+    ibf_config: IBFConfig,
+    hashes_count: dict[str, int],
+    hash_functions: int = 0,
+    mode: str = "avg",
+) -> bool:
+    """Re-size with fewer hash functions when that is measurably faster.
+
+    Applies only when the user left ``--hash-functions`` on auto and
+    sizes by ``--max-fp`` (with a fixed ``--filter-size``, fewer hashes
+    would raise the fp instead). No-op while the auto-sized table fits
+    the VMEM staging budget — there the sizing optimum is also the
+    measured throughput optimum. Returns True when it re-sized
+    ``ibf_config`` (classify needs no change: ``hash_functions`` is part
+    of the serialized IBFConfig).
+    """
+    if hash_functions != 0 or filter_size or not max_fp:
+        return False
+    auto_table = ibf_config.bin_size_bits * optimal_bins(ibf_config.n_bins) // 8
+    if auto_table <= VMEM_STAGED_TABLE_BYTES:
+        return False
+
+    def cost(cfg: IBFConfig) -> float:
+        table = cfg.bin_size_bits * optimal_bins(cfg.n_bins) // 8
+        rows = optimal_bins(cfg.n_bins) // 8
+        return cfg.hash_functions * probe_cost_ns(table, rows)
+
+    best_cfg, best_cost = None, cost(ibf_config)
+    for h in range(1, ibf_config.hash_functions):
+        cand = IBFConfig(
+            kmer_size=ibf_config.kmer_size, window_size=ibf_config.window_size
+        )
+        optimal_hashes(
+            max_fp, 0.0, cand, hashes_count, hash_functions=h, mode=mode
+        )
+        if cand.n_bins == 0:
+            continue
+        table = cand.bin_size_bits * optimal_bins(cand.n_bins) // 8
+        if table > MAX_TUNED_TABLE_BYTES:
+            continue
+        c = cost(cand)
+        if c < best_cost:
+            best_cfg, best_cost = cand, c
+    if best_cfg is None:
+        return False
+    ibf_config.bin_size_bits = best_cfg.bin_size_bits
+    ibf_config.max_hashes_bin = best_cfg.max_hashes_bin
+    ibf_config.n_bins = best_cfg.n_bins
+    ibf_config.hash_functions = best_cfg.hash_functions
+    ibf_config.max_fp = best_cfg.max_fp
+    return True
+
+
 def split_target_bins(
     ibf_config: IBFConfig, hashes_count: dict[str, int]
 ) -> list[tuple[int, str, int, int]]:

@@ -242,3 +242,33 @@ def test_end_to_end_sequence_membership():
         t: int(counts[bins].sum()) for t, bins in ibf.target_bins().items()
     }
     assert tc["G2"] >= M  # full containment
+
+
+def test_build_roundtrip_single_hash_function():
+    """h=1 filters (the TPU tuner's HBM-regime choice) stay exact."""
+    rng = np.random.default_rng(9)
+    th = _random_target_hashes(rng, 6)
+    ibf = build_ibf(
+        th, kmer_size=19, window_size=31, max_fp=0.05, hash_functions=1
+    )
+    assert ibf.ibf_config.hash_functions == 1
+    assert ibf.ibf_config.true_max_fp <= 0.05 * 1.01
+
+    tb = ibf.target_bins()
+    targets = list(th)
+    M = max(len(h) for h in th.values())
+    hs = np.zeros((len(targets), M), dtype=np.uint64)
+    mask = np.zeros((len(targets), M), dtype=bool)
+    for i, t in enumerate(targets):
+        hs[i, : len(th[t])] = th[t]
+        mask[i, : len(th[t])] = True
+    rows = ibf_row_indices(
+        jnp.asarray(hs),
+        bin_size=ibf.ibf_config.bin_size_bits,
+        hash_functions=1,
+    )
+    counts = np.asarray(
+        bulk_count_bins(jnp.asarray(ibf.bits), rows, jnp.asarray(mask))
+    )
+    for i, t in enumerate(targets):
+        assert counts[i, tb[t]].sum() >= len(th[t])

@@ -94,3 +94,59 @@ def test_fixed_hash_functions():
     counts = _skewed_counts(rng)
     cfg = _run(hash_functions=2, counts=counts)
     assert cfg.hash_functions == 2
+
+
+# -- TPU throughput-aware hash tuning ---------------------------------------
+
+
+def _tune(counts, max_fp=0.05, filter_size=0.0, hash_functions=0, mode="avg"):
+    cfg = IBFConfig(kmer_size=19, window_size=31)
+    sizing.optimal_hashes(
+        max_fp if not filter_size else 0.0, filter_size, cfg, counts,
+        hash_functions=hash_functions, mode=mode,
+    )
+    before = (cfg.hash_functions, cfg.bin_size_bits, cfg.n_bins,
+              cfg.max_hashes_bin)
+    changed = sizing.auto_tune_hash_functions(
+        max_fp if not filter_size else 0.0, filter_size, cfg, counts,
+        hash_functions=hash_functions, mode=mode,
+    )
+    return cfg, before, changed
+
+
+def test_tpu_tuning_noop_small_table():
+    counts = {f"T{i}": 5_000 for i in range(16)}
+    cfg, before, changed = _tune(counts)
+    assert not changed
+    assert (cfg.hash_functions, cfg.bin_size_bits, cfg.n_bins,
+            cfg.max_hashes_bin) == before
+
+
+def test_tpu_tuning_lowers_h_for_hbm_tables():
+    counts = {f"T{i}": 140_000 for i in range(1024)}
+    cfg, before, changed = _tune(counts)
+    assert changed
+    assert cfg.hash_functions < before[0]
+    # fp bound still honored by the re-size
+    tmax, tavg = sizing.true_false_positive(
+        counts, cfg.max_hashes_bin, cfg.bin_size_bits, cfg.hash_functions
+    )
+    assert tmax <= 0.05 * 1.01
+    # memory growth bounded
+    table = cfg.bin_size_bits * sizing.optimal_bins(cfg.n_bins) // 8
+    assert table <= sizing.MAX_TUNED_TABLE_BYTES
+    # and the model says it is faster
+    def cost(h, bs, nb):
+        t = bs * sizing.optimal_bins(nb) // 8
+        return h * sizing.probe_cost_ns(t, sizing.optimal_bins(nb) // 8)
+    assert cost(cfg.hash_functions, cfg.bin_size_bits, cfg.n_bins) < cost(
+        before[0], before[1], before[2]
+    )
+
+
+def test_tpu_tuning_respects_explicit_h_and_filter_size():
+    counts = {f"T{i}": 140_000 for i in range(1024)}
+    cfg, before, changed = _tune(counts, hash_functions=4)
+    assert not changed and cfg.hash_functions == 4
+    cfg, before, changed = _tune(counts, filter_size=512.0)
+    assert not changed
