@@ -552,10 +552,14 @@ def threshold_topk(
     min_count = jnp.minimum(
         n_hashes, jnp.where(kept, counts, big).min(axis=1)
     )
-    thr = max_count.astype(jnp.float64) - jnp.ceil(
-        (max_count - min_count).astype(jnp.float64) * rel_filter
-    )
-    final = kept & (counts.astype(jnp.float64) >= thr[:, None])
+    # thr is integral (int minus a ceil'd int); comparing in int32 keeps
+    # the [B, T] compare off the (emulated, slow) f64 path — only the
+    # [B]-sized threshold math runs in f64 like the reference's doubles
+    thr = (
+        max_count.astype(jnp.float64)
+        - jnp.ceil((max_count - min_count).astype(jnp.float64) * rel_filter)
+    ).astype(jnp.int32)
+    final = kept & (counts >= thr[:, None])
     n_matches = final.sum(axis=1).astype(jnp.int32)
     fvals = jnp.where(final, counts, 0)
     k = min(top_k, counts.shape[1])

@@ -57,6 +57,11 @@ CLOSE_ROWS = 128
 # beyond, the oldest are dropped and re-extracted from the packed spill
 # when a close group needs them again
 DEVICE_CACHE_BYTES = 4 << 30
+# peak bytes for the scatter's u8 bit plane; larger filters scatter in
+# row-range chunks (the plane is 8x the bit-matrix, so a multi-GB filter
+# would otherwise exhaust HBM). Each extra chunk re-walks every entry,
+# so the budget is set as large as HBM comfortably allows.
+PLANE_CHUNK_BYTES = 3 << 30
 
 CHUNK = 1 << 18
 
@@ -179,11 +184,12 @@ def _make_kernels():
     @partial(
         jax.jit,
         donate_argnums=(0,),
-        static_argnames=("bin_size", "hash_functions"),
+        static_argnames=("bin_size", "hash_functions", "n_words",
+                         "n_chunks"),
     )
     def scatter_sorted(
         bits, k_s, hi_s, lo_s, uniq, skip_key, params,
-        *, bin_size, hash_functions,
+        *, bin_size, hash_functions, n_words, n_chunks=1,
     ):
         """Rank each unique hash within its file, derive its technical
         bin from the index-range split, scatter-OR into donated bits.
@@ -194,12 +200,22 @@ def _make_kernels():
         quota, and the count of same-target hashes in earlier files
         (reference bin split: GanonBuild.cpp:619-653).
 
-        The bit accumulation scatter-maxes ones into a flat u8 bit plane
-        (idempotent, so no dedup sort is needed) and packs 32 lanes back
-        into the u32 words: replaces a 4x-expanded columnsort + masked
-        scatter-add — both a compile-time and an execution win.
+        The bit accumulation scatter-maxes ones into a LANE-MAJOR u8 bit
+        plane ``[32, rows*n_words]`` (idempotent, so no dedup sort is
+        needed): keeping the word axis minor avoids the catastrophic
+        tile padding a ``[..,4,8]``-shaped pack pays on TPU (minor dims
+        <128 lanes pad 16-32x), and the 32-lane weighted sum that packs
+        the planes back into u32 words fuses into one reduction. Large
+        filters process the plane in ``n_chunks`` row-range passes
+        (static) so peak memory stays ~plane_bytes/n_chunks regardless
+        of filter size; out-of-range entries drop via the scatter
+        sentinel (negative = earlier chunk entries are clamped onto it,
+        since JAX wraps negative indices even in drop mode).
+
+        ``bits`` is FLAT u32 [bin_size * n_words] on device: a 2-D
+        [bin_size, n_words] form with a small n_words pads its minor dim
+        up to the 128-lane tile (observed 64x HBM blowup at n_words=2).
         """
-        n_words = bits.shape[1]
         R = skip_key.shape[0]
         technical = jnp.int64(n_words * 32)
         bin_base, nhb, offset = params[0], params[1], params[2]
@@ -225,20 +241,45 @@ def _make_kernels():
         rows = ibf_row_indices(
             v64, bin_size=bin_size, hash_functions=hash_functions
         )  # [N, S]
-        bidx = rows.astype(jnp.int64) * technical + binno[:, None]
-        # invalid entries -> bin_size*technical == 32*bits.size, out of
-        # range for the bit plane, dropped by mode="drop"
-        sentinel = jnp.int64(bin_size) * technical
-        bidx = jnp.where(uniq[:, None], bidx, sentinel).reshape(-1)
-        plane = jnp.zeros((bits.size * 32,), dtype=jnp.uint8)
-        plane = plane.at[bidx].max(jnp.uint8(1), mode="drop")
-        lanes = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-        delta = jnp.sum(
-            plane.reshape(bits.size, 32).astype(jnp.uint32) * lanes[None, :],
-            axis=1,
-            dtype=jnp.uint32,
-        )
-        return bits | delta.reshape(bits.shape)
+        # per-entry (row, word, lane) in lane-major plane coordinates
+        word = binno >> jnp.int64(5)
+        lane = (binno & jnp.int64(31)).astype(jnp.int64)
+        flat = rows.astype(jnp.int64) * jnp.int64(n_words) + word[:, None]
+        lane = jnp.broadcast_to(lane[:, None], flat.shape)
+        big = jnp.int64(bin_size) * jnp.int64(n_words)  # out-of-range
+        flat = jnp.where(uniq[:, None], flat, big)
+
+        rows_per_chunk = -(-bin_size // n_chunks)
+        out = []
+        for c in range(n_chunks):
+            r0 = c * rows_per_chunk
+            rc = min(rows_per_chunk, bin_size - r0)
+            if rc <= 0:
+                break
+            span = jnp.int64(rc * n_words)
+            # entries past the range drop via mode="drop"; entries BEFORE
+            # it would be negative, which JAX WRAPS (drop only handles
+            # too-large) — clamp them onto the drop sentinel instead
+            lflat = flat - jnp.int64(r0 * n_words)
+            lflat = jnp.where(lflat < 0, span, lflat)
+            lidx = lane * span + lflat  # lane-major: [32, rc*n_words]
+            lidx = jnp.where(lflat >= span, 32 * span, lidx)
+            plane = jnp.zeros((32 * rc * n_words,), dtype=jnp.uint8)
+            plane = plane.at[lidx.reshape(-1)].max(jnp.uint8(1), mode="drop")
+            # pack: unrolled OR-chain, u8 until the final byte merge — a
+            # jnp.sum reduce materializes the full u32-expanded plane
+            # (4x, observed 2x 8 GB temps); this fuses elementwise
+            p = plane.reshape(32, rc * n_words)
+            delta = jnp.zeros((rc * n_words,), jnp.uint32)
+            for k in range(4):
+                byte_k = p[8 * k]
+                for j in range(1, 8):
+                    byte_k = byte_k | (p[8 * k + j] << jnp.uint8(j))
+                delta = delta | (
+                    byte_k.astype(jnp.uint32) << jnp.uint32(8 * k)
+                )
+            out.append(bits[r0 * n_words : (r0 + rc) * n_words] | delta)
+        return jnp.concatenate(out) if len(out) > 1 else out[0]
 
     return extract, close_sort, close_counts_sorted, scatter_sorted
 
@@ -322,6 +363,8 @@ class _Batch:
 class _Group:
     batch_ids: list
     files: list                      # ordered unique _FileRec
+    sorted: object = None            # cached close_sort output (device)
+    sorted_bytes: int = 0
 
 
 class DeviceBuildPipeline:
@@ -454,6 +497,15 @@ class DeviceBuildPipeline:
                 self._cache_bytes -= bt.nbytes
                 if self._cache_bytes <= self._cache_limit:
                     return
+        # batches gone; drop cached sorted groups (oldest first) — the
+        # scatter pass falls back to re-gather + re-sort
+        for group in self.groups:
+            if group.sorted is not None:
+                group.sorted = None
+                self._cache_bytes -= group.sorted_bytes
+                group.sorted_bytes = 0
+                if self._cache_bytes <= self._cache_limit:
+                    return
 
     # -- group gather ---------------------------------------------------------
 
@@ -503,8 +555,14 @@ class DeviceBuildPipeline:
         for group in self.groups:
             vals, n, ovf, keys = self._gather_group(group)
             keys_d = jnp.asarray(keys)
-            k_s, _, _, uniq = close_sort(vals, n, keys_d, ovf)
+            k_s, hi_s, lo_s, uniq = close_sort(vals, n, keys_d, ovf)
             counts, kovf = close_counts_sorted(k_s, keys_d, ovf, uniq)
+            # cache the sorted entries for the scatter pass (saves the
+            # second columnsort + any re-extraction); the trimmer may
+            # drop them under memory pressure
+            group.sorted = (k_s, hi_s, lo_s, uniq)
+            group.sorted_bytes = int(k_s.shape[0]) * 13
+            self._cache_bytes += group.sorted_bytes
             pending.append((counts, kovf, group))
             self._trim_cache()
         if not pending:
@@ -578,7 +636,14 @@ class DeviceBuildPipeline:
         _, close_sort, _, scatter_sorted = _kernels()
         technical = sizing.optimal_bins(ibf_config.n_bins)
         n_words = technical // 32
-        bits = jnp.zeros((ibf_config.bin_size_bits, n_words), dtype=jnp.uint32)
+        # flat on device: 2-D with small n_words tile-pads up to 64x
+        bits = jnp.zeros(
+            (ibf_config.bin_size_bits * n_words,), dtype=jnp.uint32
+        )
+        plane_bytes = ibf_config.bin_size_bits * technical
+        n_chunks = 1
+        while n_chunks * PLANE_CHUNK_BYTES < plane_bytes:
+            n_chunks *= 2
 
         # per-file bin parameters from the reference's split math (must
         # agree with sizing.split_target_bins)
@@ -603,25 +668,39 @@ class DeviceBuildPipeline:
         for group in self.groups:
             if all(rec.ovf for rec in group.files):
                 continue
-            vals, n, ovf, keys = self._gather_group(group)
-            R = vals.shape[0]
+            if group.sorted is not None:
+                k_s, hi_s, lo_s, uniq = group.sorted
+                group.sorted = None
+                self._cache_bytes -= group.sorted_bytes
+                group.sorted_bytes = 0
+                R = _row_bucket(
+                    sum(len(self.batches[b].pids) for b in group.batch_ids)
+                )
+            else:
+                vals, n, ovf, keys = self._gather_group(group)
+                R = vals.shape[0]
+                k_s, hi_s, lo_s, uniq = close_sort(
+                    vals, n, jnp.asarray(keys), ovf
+                )
             params = np.zeros((3, R), np.int32)
             params[1, :] = 1
             skip_key = np.zeros(R, dtype=bool)
             for i, rec in enumerate(group.files):
                 params[0, i], params[1, i], params[2, i] = params_of[id(rec)]
                 skip_key[i] = rec.ovf
-            k_s, hi_s, lo_s, uniq = close_sort(vals, n, jnp.asarray(keys),
-                                               ovf)
             bits = scatter_sorted(
                 bits, k_s, hi_s, lo_s, uniq, jnp.asarray(skip_key),
                 jnp.asarray(params),
                 bin_size=ibf_config.bin_size_bits,
                 hash_functions=ibf_config.hash_functions,
+                n_words=n_words,
+                n_chunks=n_chunks,
             )
             self._trim_cache()
 
-        out = np.ascontiguousarray(np.asarray(bits))
+        out = np.ascontiguousarray(
+            np.asarray(bits).reshape(ibf_config.bin_size_bits, n_words)
+        )
 
         # exact host path for overflowed files (rare)
         from ganon_tpu.index.ibf import _scatter_bits

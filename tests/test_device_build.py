@@ -177,3 +177,16 @@ def test_run_build_device_matches_host(tmp_path, monkeypatch):
     assert outs["host"].hashes_count == outs["device"].hashes_count
     assert np.array_equal(outs["host"].bits, outs["device"].bits)
     assert outs["host"].bin_map == outs["device"].bin_map
+
+
+def test_bits_identical_chunked_plane(monkeypatch):
+    """Large-filter path: the scatter plane split into row-range chunks
+    must produce the same bit-matrix as the single-pass plane."""
+    from ganon_tpu.index import device_build
+
+    rng = np.random.default_rng(12)
+    seq_files = _mkinput(rng, n_targets=4)
+    ibf = _host_path(seq_files, max_fp=0.05)
+    monkeypatch.setattr(device_build, "PLANE_CHUNK_BYTES", 1 << 16)
+    bits, _, icfg = _device_path(seq_files, max_fp=0.05)
+    assert np.array_equal(bits, ibf.bits)
