@@ -296,6 +296,7 @@ def auto_tune_hash_functions(
     hashes_count: dict[str, int],
     hash_functions: int = 0,
     mode: str = "avg",
+    bins_shards: int = 1,
 ) -> bool:
     """Re-size with fewer hash functions when that is measurably faster.
 
@@ -306,17 +307,23 @@ def auto_tune_hash_functions(
     measured throughput optimum. Returns True when it re-sized
     ``ibf_config`` (classify needs no change: ``hash_functions`` is part
     of the serialized IBFConfig).
+
+    ``bins_shards``: number of chips the query table's bin axis will be
+    column-sharded over at classify time (parallel/mesh.py); the cost
+    model prices the PER-CHIP shard. Default 1 (conservative).
     """
     if hash_functions != 0 or filter_size or not max_fp:
         return False
-    auto_table = ibf_config.bin_size_bits * optimal_bins(ibf_config.n_bins) // 8
-    if auto_table <= VMEM_STAGED_TABLE_BYTES:
-        return False
 
     def cost(cfg: IBFConfig) -> float:
-        table = cfg.bin_size_bits * optimal_bins(cfg.n_bins) // 8
-        rows = optimal_bins(cfg.n_bins) // 8
+        rows = optimal_bins(cfg.n_bins) // 8 // max(bins_shards, 1)
+        table = cfg.bin_size_bits * max(rows, 1)
         return cfg.hash_functions * probe_cost_ns(table, rows)
+
+    auto_rows = optimal_bins(ibf_config.n_bins) // 8 // max(bins_shards, 1)
+    auto_table = ibf_config.bin_size_bits * max(auto_rows, 1)
+    if auto_table <= VMEM_STAGED_TABLE_BYTES:
+        return False
 
     best_cfg, best_cost = None, cost(ibf_config)
     for h in range(1, ibf_config.hash_functions):
@@ -328,8 +335,11 @@ def auto_tune_hash_functions(
         )
         if cand.n_bins == 0:
             continue
-        table = cand.bin_size_bits * optimal_bins(cand.n_bins) // 8
-        if table > MAX_TUNED_TABLE_BYTES:
+        table = (
+            cand.bin_size_bits * optimal_bins(cand.n_bins) // 8
+            // max(bins_shards, 1)
+        )
+        if table > MAX_TUNED_TABLE_BYTES:  # per-chip HBM budget
             continue
         c = cost(cand)
         if c < best_cost:
