@@ -495,8 +495,19 @@ def run_build(cfg: BuildConfig) -> IBF:
     bit-identical to the host-array path (``build_ibf``), which serves
     the CPU backend.
     """
+    import time as _time
+
     cfg.validate()
     stats = BuildStats()
+    phases: list[tuple[str, float]] = []  # StopClock analogue
+    t_phase = _time.time()
+
+    def _mark(name: str) -> None:
+        nonlocal t_phase
+        now = _time.time()
+        phases.append((name, now - t_phase))
+        t_phase = now
+
     input_map = parse_target_info(cfg.input_file, cfg.quiet, stats)
     if not input_map:
         raise ValueError("No valid input files")
@@ -510,6 +521,7 @@ def run_build(cfg: BuildConfig) -> IBF:
             stats=stats,
             threads=cfg.threads,
         )
+        _mark("Count")
         target_hashes = {t: h for t, h in target_hashes.items() if len(h)}
         if not target_hashes:
             raise ValueError("No valid sequences to build")
@@ -523,7 +535,8 @@ def run_build(cfg: BuildConfig) -> IBF:
             mode=cfg.mode,
             tpu_sizing=cfg.tpu_sizing and _h_tunable(cfg),
         )
-        return _finish_build(cfg, ibf, stats)
+        _mark("EstimateParams/BuildIBF")
+        return _finish_build(cfg, ibf, stats, phases, _mark)
 
     from ganon_tpu.index import sizing
     from ganon_tpu.index.config import IBFConfig
@@ -536,7 +549,9 @@ def run_build(cfg: BuildConfig) -> IBF:
             min_length=cfg.min_length, stats=stats, threads=cfg.threads,
         ):
             pipe.add_encoded(key, row)
+        _mark("Ingest")
         pipe.finish_counts()
+        _mark("Count")
         # drop targets with zero hashes (sequences all too short)
         hashes_count = {t: c for t, c in pipe.hashes_count().items() if c}
         if not hashes_count:
@@ -564,18 +579,21 @@ def run_build(cfg: BuildConfig) -> IBF:
         )
         if icfg.n_bins == 0:
             raise ValueError("no valid sequences to build")
+        _mark("EstimateParams")
         splits = sizing.split_target_bins(icfg, hashes_count)
         bits = pipe.scatter(icfg)
+        _mark("BuildIBF")
     finally:
         pipe.close()
     ibf = IBF(
         bits, icfg, hashes_count,
         [(binno, target) for binno, target, _, _ in splits],
     )
-    return _finish_build(cfg, ibf, stats)
+    return _finish_build(cfg, ibf, stats, phases, _mark)
 
 
-def _finish_build(cfg: BuildConfig, ibf: IBF, stats: BuildStats) -> IBF:
+def _finish_build(cfg: BuildConfig, ibf: IBF, stats: BuildStats,
+                  phases=None, mark=None) -> IBF:
     if cfg.output_file:
         if cfg.filter_format == "reference":
             from ganon_tpu.index import serialize
@@ -583,12 +601,21 @@ def _finish_build(cfg: BuildConfig, ibf: IBF, stats: BuildStats) -> IBF:
             serialize.write_ibf(ibf, cfg.output_file)
         else:
             ibf.save(cfg.output_file)
+        if mark is not None:
+            mark("WriteIBF")
     if not cfg.quiet:
         c = ibf.ibf_config
         mb = (len(ibf.bits.tobytes())) / 1048576
+        total = sum(d for _, d in phases or [])
+        mbpm = (stats.length_bp / 1e6) / (total / 60) if total else 0.0
+        if cfg.verbose and phases:
+            # reference StopClock phase report (GanonBuild.cpp:722-748)
+            for name, dur in phases:
+                print(f" - {name}: {dur:.2f}s", file=sys.stderr)
         print(
             f"ganon-tpu build processed {stats.sequences} sequences "
-            f"({stats.length_bp / 1e6:.2f} Mbp) — max fp {c.true_max_fp:.4f} "
+            f"({stats.length_bp / 1e6:.2f} Mbp) in {total:.2f}s "
+            f"({mbpm:,.1f} Mbp/m) — max fp {c.true_max_fp:.4f} "
             f"(avg {c.true_avg_fp:.4f}), filter size {mb:.2f}MB",
             file=sys.stderr,
         )
