@@ -19,12 +19,20 @@ from ganon_tpu.ops.ibf_query import (
     ibf_row_indices,
     bulk_count_bins,
     bulk_target_counts,
+    bulk_target_counts_packed,
     bulk_target_counts_u8,
     compact_hashes,
     pack_table_u8,
+    table_as_u32,
     target_counts,
     target_segments,
 )
+
+
+# table-size boundary between the u8 layout (VMEM-staged gathers, u8
+# ~1.7x faster) and the u32 word view (HBM regime, ~2x faster); same
+# boundary the hash-function tuner prices against
+from ganon_tpu.index.sizing import VMEM_STAGED_TABLE_BYTES as _U32_TABLE_BYTES
 
 
 def bucket_len(n: int, minimum: int = 128) -> int:
@@ -93,7 +101,7 @@ def filter_counts_u8(
 ):
     """Per-target clamped counts on the u8 device layout (the fast path)."""
     rows = ibf_row_indices(hashes, bin_size=bin_size, hash_functions=hash_functions)
-    tc = bulk_target_counts_u8(tbl8, rows, mask, byte_starts, byte_ends)
+    tc = bulk_target_counts_packed(tbl8, rows, mask, byte_starts, byte_ends)
     return jnp.minimum(tc, n_hashes[:, None])
 
 
@@ -138,7 +146,7 @@ def classify_counts_fused(
     else:
         overflow = jnp.zeros(hashes.shape[0], dtype=bool)
     rows = ibf_row_indices(hashes, bin_size=bin_size, hash_functions=hash_functions)
-    tc = bulk_target_counts_u8(tbl8, rows, mask, byte_starts, byte_ends)
+    tc = bulk_target_counts_packed(tbl8, rows, mask, byte_starts, byte_ends)
     return jnp.minimum(tc, n_hashes[:, None]), n_hashes, overflow
 
 
@@ -313,7 +321,7 @@ def classify_batch_packed_forest(
         rows = ibf_row_indices(
             hashes, bin_size=bin_size, hash_functions=hash_functions
         )
-        parts.append(bulk_target_counts_u8(tbl8, rows, mask, bs, be))
+        parts.append(bulk_target_counts_packed(tbl8, rows, mask, bs, be))
     counts = jnp.minimum(
         jnp.concatenate(parts, axis=1), n_hashes[:, None]
     )
@@ -383,7 +391,7 @@ def classify_batch_packed_raptor(
         rows = ibf_row_indices(
             hashes, bin_size=bin_size, hash_functions=hash_functions
         )
-        c = bulk_target_counts_u8(tbl8, rows, mask, bs, be)
+        c = bulk_target_counts_packed(tbl8, rows, mask, bs, be)
         counts = counts.at[:, cols].max(c)
     counts = jnp.minimum(counts, n_hashes[:, None])
     res = threshold_topk(
@@ -473,16 +481,25 @@ class DeviceFilter:
             nb = mesh.shape["bins"]
             self.batch_mult = mesh.shape["batch"]
             W8 = tbl8.shape[1]
-            W8_pad = -(-W8 // nb) * nb
+            # u32 regime test is per bins-shard; u32 view needs the
+            # sharded word axis whole (W8 divisible by 4*nb)
+            wide = tbl8.nbytes // nb > _U32_TABLE_BYTES
+            align = 4 * nb if wide else nb
+            W8_pad = -(-W8 // align) * align
             if W8_pad != W8:
                 tbl8 = np.pad(tbl8, ((0, 0), (0, W8_pad - W8)))
             self.tbl8 = jax.device_put(
-                tbl8, NamedSharding(mesh, P(None, "bins"))
+                table_as_u32(tbl8) if wide else tbl8,
+                NamedSharding(mesh, P(None, "bins")),
             )
             rep = NamedSharding(mesh, P())
             self.byte_starts = jax.device_put(jnp.asarray(byte_starts), rep)
             self.byte_ends = jax.device_put(jnp.asarray(byte_ends), rep)
         else:
+            if tbl8.nbytes > _U32_TABLE_BYTES:
+                # HBM regime: gather u32 words (2-2.5x fewer row-fetch
+                # transactions, same bytes — ops.ibf_query.table_as_u32)
+                tbl8 = table_as_u32(tbl8)
             # commit the table row-major: the default committed layout is
             # column-major, which costs a relayout copy in every batch
             try:
@@ -656,6 +673,8 @@ class DeviceRaptorHIBF:
                 dtype=np.int32,
             )
             tbl8, bstarts, bends = pack_table_u8(bits, b2t_local, len(used))
+            if tbl8.nbytes > _U32_TABLE_BYTES:
+                tbl8 = table_as_u32(tbl8)
             self.subs.append({
                 "tbl8": jnp.asarray(tbl8),
                 "byte_starts": jnp.asarray(bstarts),

@@ -72,7 +72,23 @@ def _mk_table(key, R, T):
 
 
 def run_config(T, R, rng, verbose_ops=False, h=4):
-    tbl8 = _mk_table(jax.random.key(T), R, T)
+    # production layout rule (classify.device.DeviceFilter): u32 word
+    # view once the table leaves the VMEM staging regime. Bit content is
+    # irrelevant to gather cost, so generate each layout directly (an
+    # on-device bitcast of [R, T/4, 4] u8 pads its tiny minor dim 16x ->
+    # 10 GB temp; production converts on host via numpy view).
+    from ganon_tpu.index.sizing import VMEM_STAGED_TABLE_BYTES
+
+    if R * T > VMEM_STAGED_TABLE_BYTES:
+        assert T % 4 == 0
+        tbl8 = jax.jit(
+            lambda k: jax.random.bits(k, (R, T // 4), dtype=jnp.uint32)
+            & jnp.uint32(0x5B5B5B5B),
+        )(jax.random.key(T))
+        layout = "u32"
+    else:
+        tbl8 = _mk_table(jax.random.key(T), R, T)
+        layout = "u8 "
     tbl8.block_until_ready()
     byte_starts = jnp.arange(T, dtype=jnp.int32)
     byte_ends = byte_starts + 1
@@ -103,8 +119,8 @@ def run_config(T, R, rng, verbose_ops=False, h=4):
     gbs = probes * T / (ms / 1e3) / 1e9
     mb = R * T / 1e6
     print(
-        f"T={T:5d} R={R:8d} h={h} table={mb:7.0f} MB: {ms:8.2f} ms/batch "
-        f"= {reads_s:9,.0f} reads/s  "
+        f"T={T:5d} R={R:8d} h={h} {layout} table={mb:7.0f} MB: "
+        f"{ms:8.2f} ms/batch = {reads_s:9,.0f} reads/s  "
         f"({ms * 1e6 / probes:5.1f} ns/probe, ~{gbs:4.0f} GB/s)"
     )
     if verbose_ops:

@@ -171,6 +171,35 @@ def test_u8_layout_counts_equal_reference_formulation():
         assert (got == ref).all()
 
 
+def test_u32_word_view_counts_equal_u8():
+    """The HBM-regime u32 word view (table_as_u32 +
+    bulk_target_counts_u32) matches the u8 path bit-exactly, including
+    when W8 is not a multiple of 4 (zero-padded view) and through the
+    dtype dispatcher."""
+    import jax.numpy as jnp
+    from ganon_tpu.ops.ibf_query import (
+        bulk_target_counts_packed, bulk_target_counts_u8,
+        bulk_target_counts_u32, pack_table_u8, table_as_u32)
+
+    rng = np.random.default_rng(21)
+    R, W, B, M, S, T = 1024, 3, 8, 40, 3, 13  # W8 = 13 -> pads to 16
+    bits = rng.integers(0, 2**32, (R, W), dtype=np.uint32)
+    rows = jnp.asarray(rng.integers(0, R, (B, M, S)), dtype=jnp.int32)
+    mask = jnp.asarray(rng.random((B, M)) < 0.5)
+    b2t = np.sort(rng.integers(0, T + 1, W * 32)).astype(np.int32)
+    tbl8, bs, be = pack_table_u8(bits, b2t, T)
+    assert tbl8.shape[1] % 4 != 0  # exercises the pad branch
+    bs, be = jnp.asarray(bs), jnp.asarray(be)
+    ref = np.asarray(
+        bulk_target_counts_u8(jnp.asarray(tbl8), rows, mask, bs, be))
+    tbl32 = jnp.asarray(table_as_u32(tbl8))
+    got = np.asarray(bulk_target_counts_u32(tbl32, rows, mask, bs, be))
+    assert (got == ref).all()
+    via_dispatch = np.asarray(
+        bulk_target_counts_packed(tbl32, rows, mask, bs, be))
+    assert (via_dispatch == ref).all()
+
+
 def test_compact_hashes_rank_select():
     """Compaction keeps the emitted multiset in order and flags
     overflow exactly."""
