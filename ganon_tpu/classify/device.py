@@ -254,7 +254,8 @@ def classify_batch_packed(
         bin_size=bin_size, hash_functions=hash_functions,
     )
     res = threshold_topk(
-        counts, n_hashes, rel_cutoff, rel_filter, hashes_limit, top_k=top_k
+        counts, n_hashes, rel_cutoff, rel_filter, hashes_limit,
+        top_k=top_k, sort16=pack16,
     )
     if pack16:
         matches = [
@@ -326,7 +327,8 @@ def classify_batch_packed_forest(
         jnp.concatenate(parts, axis=1), n_hashes[:, None]
     )
     res = threshold_topk(
-        counts, n_hashes, rel_cutoff, rel_filter, hashes_limit, top_k=top_k
+        counts, n_hashes, rel_cutoff, rel_filter, hashes_limit,
+        top_k=top_k, sort16=pack16,
     )
     if pack16:
         matches = [((res["top_vals"] << 16) | res["top_idx"]).ravel()]
@@ -395,7 +397,8 @@ def classify_batch_packed_raptor(
         counts = counts.at[:, cols].max(c)
     counts = jnp.minimum(counts, n_hashes[:, None])
     res = threshold_topk(
-        counts, n_hashes, rel_cutoff, rel_filter, hashes_limit, top_k=top_k
+        counts, n_hashes, rel_cutoff, rel_filter, hashes_limit,
+        top_k=top_k, sort16=pack16,
     )
     if pack16:
         matches = [((res["top_vals"] << 16) | res["top_idx"]).ravel()]
@@ -540,9 +543,10 @@ class DeviceFilter:
         )
 
 
-@partial(jax.jit, static_argnames=("top_k",))
+@partial(jax.jit, static_argnames=("top_k", "sort16"))
 def threshold_topk(
-    counts, n_hashes, rel_cutoff, rel_filter, hashes_limit, *, top_k: int
+    counts, n_hashes, rel_cutoff, rel_filter, hashes_limit, *,
+    top_k: int, sort16: bool = False,
 ):
     """Device-side rel-cutoff + rel-filter + top-K match compaction.
 
@@ -551,6 +555,13 @@ def threshold_topk(
     traffic drops from B x T counts to B x K matches plus per-target
     tallies — essential here because host transfers are the bottleneck,
     and the right production design regardless.
+
+    ``sort16`` (static; requires counts and target ids <= 0xFFFF, the
+    same bound the engine's pack16 flag asserts) replaces lax.top_k's
+    full variadic (vals, iota) sort with a single u32 sort of
+    ``count << 16 | ~idx`` — half the data through the sort network,
+    measured 2x at [8192, 4096+] with identical results (descending
+    count, ascending index on ties).
 
     Returns dict with:
       top_vals/top_idx  int32 [B, K] final matches (desc count, 0-padded)
@@ -580,7 +591,18 @@ def threshold_topk(
     n_matches = final.sum(axis=1).astype(jnp.int32)
     fvals = jnp.where(final, counts, 0)
     k = min(top_k, counts.shape[1])
-    top_vals, top_idx = jax.lax.top_k(fvals, k)
+    if sort16:
+        T = counts.shape[1]
+        idx_c = jnp.uint32(0xFFFF) - jnp.arange(T, dtype=jnp.uint32)
+        packed = (fvals.astype(jnp.uint32) << jnp.uint32(16)) | idx_c
+        s = jax.lax.sort(packed, dimension=1, is_stable=False)
+        top = s[:, T - k:][:, ::-1]
+        top_vals = (top >> 16).astype(jnp.int32)
+        top_idx = (
+            jnp.uint32(0xFFFF) - (top & jnp.uint32(0xFFFF))
+        ).astype(jnp.int32)
+    else:
+        top_vals, top_idx = jax.lax.top_k(fvals, k)
     classified = n_matches > 0
     return {
         "top_vals": top_vals.astype(jnp.int32),

@@ -620,6 +620,8 @@ def _classify_batch(
             ctx.level.rel_filter,
             cfg.hashes_limit,
             top_k=cfg.top_k_matches,
+            sort16=(ctx.filters[0].num_targets <= 0xFFFF
+                    and cfg.hashes_limit <= 0xFFFF),
         )
         res = {k: np.asarray(v) for k, v in res.items()}
         if not (res["n_matches"][:B0] > res["top_vals"].shape[1]).any():

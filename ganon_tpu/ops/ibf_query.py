@@ -255,12 +255,25 @@ def bulk_target_counts_u32(tbl32, rows, hash_mask, byte_starts, byte_ends):
         member = member & tbl32[rows[:, :, s]]
     member = jnp.where(hash_mask[:, :, None], member, jnp.uint32(0))
     pc = _popcount_u32_bytelanes(member)  # [B, M, W] 4 lanes/word
+    # lane-safe grouped accumulation: <=31 per-byte popcounts (each <=8)
+    # sum to <=248 without carrying across byte lanes, so groups reduce
+    # in u32 before the 4x int32 lane expansion — 31x less data through
+    # the expand+sum (measured ~10 ms of VPU time at [8192,48,1024])
+    B, M, W = pc.shape
+    G = 31
+    Mp = -(-M // G) * G
+    if Mp != M:
+        pc = jnp.pad(pc, ((0, 0), (0, Mp - M), (0, 0)))
+    grp = jnp.sum(
+        pc.reshape(B, Mp // G, G, W), axis=2, dtype=jnp.uint32
+    )  # [B, Gn, W] byte-lane partial sums
     shifts = jnp.arange(4, dtype=jnp.uint32) * jnp.uint32(8)
-    pcb = ((pc[:, :, :, None] >> shifts) & jnp.uint32(0xFF)).astype(
+    pcb = ((grp[:, :, :, None] >> shifts) & jnp.uint32(0xFF)).astype(
         jnp.int32
-    )  # [B, M, W, 4] little-endian byte order = tbl8 byte order
-    cw = jnp.sum(pcb, axis=1).reshape(pc.shape[0], -1)  # [B, W8p]
-    return _segment_matmul(cw, byte_starts, byte_ends)
+    )  # [B, Gn, W, 4] little-endian byte order = tbl8 byte order
+    cw = jnp.sum(pcb, axis=1).reshape(B, -1)  # [B, W8p]
+    return _segment_matmul(cw, byte_starts, byte_ends,
+                           max_val=8 * rows.shape[1])
 
 
 @jax.jit
@@ -280,12 +293,22 @@ def bulk_target_counts_u8(tbl8, rows, hash_mask, byte_starts, byte_ends):
     for s in range(1, rows.shape[2]):
         member = member & tbl8[rows[:, :, s]]
     member = jnp.where(hash_mask[:, :, None], member, jnp.uint8(0))
-    pc = _popcount_u8(member).astype(jnp.int32)  # [B, M, W8]
-    cw = jnp.sum(pc, axis=1)  # [B, W8]
-    return _segment_matmul(cw, byte_starts, byte_ends)
+    pc = _popcount_u8(member)  # [B, M, W8] values <= 8
+    # grouped accumulation: <=31 popcounts sum to <=248 in u8, so groups
+    # reduce at native width before widening to int32 (31x less data
+    # through the widen+sum; see the u32 twin below)
+    B, M, W8 = pc.shape
+    G = 31
+    Mp = -(-M // G) * G
+    if Mp != M:
+        pc = jnp.pad(pc, ((0, 0), (0, Mp - M), (0, 0)))
+    grp = jnp.sum(pc.reshape(B, Mp // G, G, W8), axis=2, dtype=jnp.uint8)
+    cw = jnp.sum(grp.astype(jnp.int32), axis=1)  # [B, W8]
+    return _segment_matmul(cw, byte_starts, byte_ends,
+                           max_val=8 * rows.shape[1])
 
 
-def _segment_matmul(cw, byte_starts, byte_ends):
+def _segment_matmul(cw, byte_starts, byte_ends, max_val: int = 65535 * 8):
     """Per-target segment sum of per-byte counts as an MXU matmul.
 
     ``counts[b, t] = sum_{bs[t] <= w < be[t]} cw[b, w]``. The one-hot
@@ -295,24 +318,36 @@ def _segment_matmul(cw, byte_starts, byte_ends):
     measured 4.7 ms/batch at W8=256 (T=256 targets) vs ~0 for the
     matmul.
 
-    Exactness requires ``Precision.HIGHEST``: per-byte counts reach
-    hashes_limit (65535) on the long-read/uncompacted path, far above
-    the 256-integer exactness bound of TPU's default single-pass bf16
-    matmul; HIGHEST (6-pass) is exact for integers < 2^24 and measured
-    ~0 ms here.
+    Exactness without the 6-pass ``Precision.HIGHEST`` dot (which
+    dominates wide-table batches — ~50 ms at T=8192): split ``cw`` into
+    base-256 digits, one DEFAULT single-pass bf16 dot per digit.
+    Digits <= 255 and the 0/1 segment matrix are exact in bf16, the MXU
+    accumulates bf16 products in f32 (exact for integer sums < 2^24,
+    guarded below), and the int32 recombination is exact because each
+    digit's scaled contribution is bounded by the true count.
+    ``max_val`` bounds cw (callers pass 8 * hash-axis length); the
+    compacted read path needs 2 digits, the long-read path 3 — still
+    2-3x fewer MXU passes than HIGHEST.
     """
     W8 = cw.shape[1]
     w_idx = jnp.arange(W8, dtype=jnp.int32)[:, None]  # [W8, 1]
-    seg = (
-        (w_idx >= byte_starts[None, :]) & (w_idx < byte_ends[None, :])
-    ).astype(jnp.float32)  # [W8, T]
-    out = jnp.dot(
-        cw.astype(jnp.float32),
-        seg,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out.astype(jnp.int32)
+    segb = (w_idx >= byte_starts[None, :]) & (w_idx < byte_ends[None, :])
+    if 255 * W8 >= 1 << 24:  # f32 accumulation exactness bound
+        out = jnp.dot(
+            cw.astype(jnp.float32),
+            segb.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return out.astype(jnp.int32)
+    seg = segb.astype(jnp.bfloat16)  # [W8, T]
+    n_digits = max(1, (int(max_val).bit_length() + 7) // 8)
+    out = jnp.zeros((cw.shape[0], seg.shape[1]), dtype=jnp.int32)
+    for d in range(n_digits):
+        dig = ((cw >> (8 * d)) & 0xFF).astype(jnp.bfloat16)
+        part = jnp.dot(dig, seg, preferred_element_type=jnp.float32)
+        out = out + (part.astype(jnp.int32) << (8 * d))
+    return out
 
 
 def bulk_target_counts_packed(tbl, rows, hash_mask, byte_starts, byte_ends):

@@ -80,7 +80,8 @@ def _classify_step(
     member = jnp.where(mask[:, :, None], member, jnp.uint8(0))
     pc = _popcount_u8(member).astype(jnp.int32)
     cw = jnp.sum(pc, axis=1)  # [B, W8] — shard-local reduction
-    tc = _segment_matmul(cw, byte_starts, byte_ends)
+    tc = _segment_matmul(cw, byte_starts, byte_ends,
+                         max_val=8 * rows.shape[1])
     return jnp.minimum(tc, n_hashes[:, None]), n_hashes
 
 

@@ -58,7 +58,7 @@ def trace_jit_total(fn, inputs):
         top = sorted(
             ((d, nm) for nm, d in durs.items() if not nm.startswith("jit_")),
             reverse=True,
-        )[:5]
+        )[:10]
         return jit_total / n * 1e3, [(d / n * 1e3, nm[:100]) for d, nm in top]
     return float("nan"), []
 
@@ -132,6 +132,11 @@ def run_config(T, R, rng, verbose_ops=False, h=4):
 def main():
     rng = np.random.default_rng(0)
     verbose = "-v" in sys.argv
+    only = None
+    if "-only" in sys.argv:  # e.g. -only 4096,680975,1
+        only = tuple(
+            int(x) for x in sys.argv[sys.argv.index("-only") + 1].split(",")
+        )
     print(f"device: {jax.devices()[0]}")
     # (T, R, h): R models per-target genome size at fp=0.05 with h hash
     # functions (1 Mbp, h=4 -> 870575 rows; h=2 -> x1.27; h=1 -> x3.13);
@@ -147,6 +152,8 @@ def main():
         (8192, 108822, 4),
         (8192, 340487, 1),
     ]:
+        if only and (T, R, h) != only:
+            continue
         run_config(T, R, rng, verbose_ops=verbose, h=h)
 
 
