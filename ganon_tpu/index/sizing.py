@@ -258,9 +258,10 @@ def optimal_hashes(
 # Measured on TPU v5e (scripts/wide_table_bench.py, production
 # classify_batch_packed kernel): the bulk-count gather costs a fixed
 # per-PROBE price, not per-byte — ~2 ns/probe while the query table is
-# VMEM-staged, and, once the table exceeds the staging budget, an
-# HBM-latency-bound ~(8 + 0.02 * row_bytes) ns/probe:
-#   row_bytes  256: 13 ns   1024: 25-31 ns   4096: 84-134 ns
+# VMEM-staged, and, once the table exceeds the staging budget (where
+# DeviceFilter switches to the u32 word-view layout), an
+# HBM-transaction-bound ~(11 + 0.011 * row_bytes) ns/probe:
+#   row_bytes  256: 12.7 ns   1024: 17.6 ns   4096: 49 ns   8192: 98 ns
 # A read costs (n_hashes x hash_functions) probes, so in the HBM regime
 # FEWER hash functions win nearly linearly (measured: T=1024 targets,
 # h=4 -> 210k reads/s, h=2 -> 377k, h=1 -> 679k) while the fp-equivalent
@@ -286,7 +287,7 @@ def probe_cost_ns(table_bytes: int, row_bytes: int) -> float:
         if row_bytes <= 512:
             return 2.8
         return 2.8 * row_bytes / 512
-    return 8.0 + 0.02 * row_bytes
+    return 11.0 + 0.011 * row_bytes
 
 
 def auto_tune_hash_functions(
