@@ -96,3 +96,54 @@ def test_topk_overflow_fallback(tmp_path):
     run_classify(cfg)
     allm = read_tsv(out + ".all")
     assert len(allm) == 12  # all 12 identical targets reported
+
+
+def test_u32_layout_switch_equals_u8(tmp_path, monkeypatch):
+    """Forcing DeviceFilter's HBM-regime u32 word-view layout (normally
+    auto-selected above sizing.VMEM_STAGED_TABLE_BYTES) must reproduce
+    the u8-layout outputs end to end, including through the packed
+    single-dispatch fast path."""
+    import ganon_tpu.classify.device as devmod
+
+    rng = random.Random(23)
+    refs = {
+        f"T{i}": "".join(rng.choice("ACGT") for _ in range(300))
+        for i in range(8)
+    }
+    db = build_db(tmp_path, refs, k=10, w=12, max_fp=0.01)
+    reads = {}
+    for i in range(60):
+        t = f"T{i % 8}"
+        s = rng.randint(0, 250)
+        reads[f"q{i}"] = refs[t][s : s + rng.randint(20, 50)]
+    fq = tmp_path / "reads.fq"
+    write_fastq(fq, reads)
+
+    import jax.numpy as jnp
+    from ganon_tpu.index.ibf import IBF
+
+    outputs = {}
+    for force_u32 in (False, True):
+        if force_u32:
+            monkeypatch.setattr(devmod, "_U32_TABLE_BYTES", 0)
+        else:
+            monkeypatch.undo()
+        expect = jnp.uint32 if force_u32 else jnp.uint8
+        assert devmod.DeviceFilter(IBF.load(db)).tbl8.dtype == expect
+        out = str(tmp_path / f"u32{force_u32}")
+        cfg = ClassifyConfig(
+            ibf=[db],
+            single_reads=[str(fq)],
+            output_prefix=out,
+            rel_cutoff=[0.3],
+            rel_filter=[0.2],
+            output_all=True,
+            output_unclassified=True,
+        )
+        run_classify(cfg)
+        outputs[force_u32] = out
+
+    for ext in (".one", ".unc", ".rep", ".all"):
+        a = sorted(map(tuple, read_tsv(outputs[False] + ext)))
+        b = sorted(map(tuple, read_tsv(outputs[True] + ext)))
+        assert a == b, ext
