@@ -66,6 +66,9 @@ class BuildConfig:
     quiet: bool = True
     verbose: bool = False
     filter_format: str = "tpu"  # tpu (npz) | reference (cereal, cross-loadable)
+    # shard the scatter's bit-matrix over all local devices ("auto":
+    # whenever >1 device is visible; results are bit-identical)
+    build_mesh: str = "auto"  # auto | off
 
     def validate(self):
         if not self.input_file:
@@ -84,6 +87,26 @@ class BuildConfig:
             raise ValueError("--kmer-size has to be <= 32")
         if self.mode not in ("avg", "smaller", "smallest", "faster", "fastest"):
             raise ValueError("invalid --mode")
+
+
+def _build_mesh(cfg: BuildConfig):
+    """1-D bins mesh over all local devices (None single-device/off).
+
+    The sharded scatter is bit-identical to the single-device path
+    (tests/test_device_build.py) and divides per-chip plane memory and
+    scatter traffic by the device count — the multi-chip answer to the
+    build-at-scale HBM ceiling (see DeviceBuildPipeline.scatter).
+    """
+    if cfg.build_mesh == "off":
+        return None
+    import jax
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        return None
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(devs), ("bins",))
 
 
 def parse_target_info(
@@ -581,7 +604,7 @@ def run_build(cfg: BuildConfig) -> IBF:
             raise ValueError("no valid sequences to build")
         _mark("EstimateParams")
         splits = sizing.split_target_bins(icfg, hashes_count)
-        bits = pipe.scatter(icfg)
+        bits = pipe.scatter(icfg, mesh=_build_mesh(cfg))
         _mark("BuildIBF")
     finally:
         pipe.close()

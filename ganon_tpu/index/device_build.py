@@ -216,8 +216,34 @@ def _make_kernels():
         [bin_size, n_words] form with a small n_words pads its minor dim
         up to the 128-lane tile (observed 64x HBM blowup at n_words=2).
         """
+        flat, lane = _entry_coords(
+            k_s, hi_s, lo_s, uniq, skip_key, params,
+            bin_size=bin_size, hash_functions=hash_functions,
+            n_words=n_words,
+        )
+        rows_per_chunk = -(-bin_size // n_chunks)
+        out = []
+        for c in range(n_chunks):
+            r0 = c * rows_per_chunk
+            rc = min(rows_per_chunk, bin_size - r0)
+            if rc <= 0:
+                break
+            out.append(_scatter_span(
+                bits[r0 * n_words : (r0 + rc) * n_words],
+                flat, lane, jnp.int64(r0 * n_words), rc, n_words,
+            ))
+        return jnp.concatenate(out) if len(out) > 1 else out[0]
+
+    def _entry_coords(k_s, hi_s, lo_s, uniq, skip_key, params,
+                      *, bin_size, hash_functions, n_words):
+        """(flat, lane) i64 [N, S] plane coordinates per sorted entry.
+
+        Ranks each unique hash within its file, derives its technical
+        bin from the index-range split (reference GanonBuild.cpp:619-653)
+        and its row from the IBF hash family; dropped entries (padding,
+        duplicates, host-fallback files) map past the plane end.
+        """
         R = skip_key.shape[0]
-        technical = jnp.int64(n_words * 32)
         bin_base, nhb, offset = params[0], params[1], params[2]
         kc = jnp.clip(k_s, 0, R - 1)
         uniq = uniq & ~skip_key[kc]
@@ -248,40 +274,100 @@ def _make_kernels():
         lane = jnp.broadcast_to(lane[:, None], flat.shape)
         big = jnp.int64(bin_size) * jnp.int64(n_words)  # out-of-range
         flat = jnp.where(uniq[:, None], flat, big)
+        return flat, lane
 
-        rows_per_chunk = -(-bin_size // n_chunks)
-        out = []
-        for c in range(n_chunks):
-            r0 = c * rows_per_chunk
-            rc = min(rows_per_chunk, bin_size - r0)
-            if rc <= 0:
-                break
-            span = jnp.int64(rc * n_words)
-            # entries past the range drop via mode="drop"; entries BEFORE
-            # it would be negative, which JAX WRAPS (drop only handles
-            # too-large) — clamp them onto the drop sentinel instead
-            lflat = flat - jnp.int64(r0 * n_words)
-            lflat = jnp.where(lflat < 0, span, lflat)
-            lidx = lane * span + lflat  # lane-major: [32, rc*n_words]
-            lidx = jnp.where(lflat >= span, 32 * span, lidx)
-            plane = jnp.zeros((32 * rc * n_words,), dtype=jnp.uint8)
-            plane = plane.at[lidx.reshape(-1)].max(jnp.uint8(1), mode="drop")
-            # pack: unrolled OR-chain, u8 until the final byte merge — a
-            # jnp.sum reduce materializes the full u32-expanded plane
-            # (4x, observed 2x 8 GB temps); this fuses elementwise
-            p = plane.reshape(32, rc * n_words)
-            delta = jnp.zeros((rc * n_words,), jnp.uint32)
-            for k in range(4):
-                byte_k = p[8 * k]
-                for j in range(1, 8):
-                    byte_k = byte_k | (p[8 * k + j] << jnp.uint8(j))
-                delta = delta | (
-                    byte_k.astype(jnp.uint32) << jnp.uint32(8 * k)
-                )
-            out.append(bits[r0 * n_words : (r0 + rc) * n_words] | delta)
-        return jnp.concatenate(out) if len(out) > 1 else out[0]
+    def _scatter_span(bits_span, flat, lane, w0, rc, n_words):
+        """Scatter-OR the entries landing in ``[w0, w0 + rc*n_words)``
+        into that word span of the bit-matrix (``w0`` may be traced —
+        the mesh path derives it from axis_index; ``rc`` is static).
+        """
+        span = jnp.int64(rc * n_words)
+        # entries past the range drop via mode="drop"; entries BEFORE
+        # it would be negative, which JAX WRAPS (drop only handles
+        # too-large) — clamp them onto the drop sentinel instead
+        lflat = flat - w0
+        lflat = jnp.where(lflat < 0, span, lflat)
+        lidx = lane * span + lflat  # lane-major: [32, rc*n_words]
+        lidx = jnp.where(lflat >= span, 32 * span, lidx)
+        plane = jnp.zeros((32 * rc * n_words,), dtype=jnp.uint8)
+        plane = plane.at[lidx.reshape(-1)].max(jnp.uint8(1), mode="drop")
+        # pack: unrolled OR-chain, u8 until the final byte merge — a
+        # jnp.sum reduce materializes the full u32-expanded plane
+        # (4x, observed 2x 8 GB temps); this fuses elementwise
+        p = plane.reshape(32, rc * n_words)
+        delta = jnp.zeros((rc * n_words,), jnp.uint32)
+        for k in range(4):
+            byte_k = p[8 * k]
+            for j in range(1, 8):
+                byte_k = byte_k | (p[8 * k + j] << jnp.uint8(j))
+            delta = delta | (
+                byte_k.astype(jnp.uint32) << jnp.uint32(8 * k)
+            )
+        return bits_span | delta
 
-    return extract, close_sort, close_counts_sorted, scatter_sorted
+    def make_scatter_mesh(mesh):
+        """Mesh-sharded scatter_sorted: the flat bit-matrix is sharded
+        over the mesh's ``bins`` axis (row ranges — the flat layout is
+        row-major), every device derives its span offset from
+        axis_index and scatters only locally-landing entries (the same
+        drop logic the single-device chunk loop uses). Entry inputs are
+        replicated; no collectives touch the plane itself, so per-chip
+        scatter traffic and peak plane memory drop by the shard count —
+        the multi-chip answer to the build-at-scale HBM ceiling.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        nb = mesh.shape["bins"]
+
+        @partial(
+            jax.jit,
+            donate_argnums=(0,),
+            static_argnames=("bin_size", "hash_functions", "n_words",
+                             "rows_per_shard", "n_chunks"),
+        )
+        def scatter_sorted_mesh(
+            bits, k_s, hi_s, lo_s, uniq, skip_key, params,
+            *, bin_size, hash_functions, n_words, rows_per_shard,
+            n_chunks=1,
+        ):
+            flat, lane = _entry_coords(
+                k_s, hi_s, lo_s, uniq, skip_key, params,
+                bin_size=bin_size, hash_functions=hash_functions,
+                n_words=n_words,
+            )
+
+            def body(bits_local, flat, lane):
+                i = jax.lax.axis_index("bins").astype(jnp.int64)
+                shard_w0 = i * jnp.int64(rows_per_shard * n_words)
+                rpc = -(-rows_per_shard // n_chunks)
+                out = []
+                for c in range(n_chunks):
+                    r0 = c * rpc
+                    rc = min(rpc, rows_per_shard - r0)
+                    if rc <= 0:
+                        break
+                    out.append(_scatter_span(
+                        bits_local[r0 * n_words : (r0 + rc) * n_words],
+                        flat, lane, shard_w0 + jnp.int64(r0 * n_words),
+                        rc, n_words,
+                    ))
+                return jnp.concatenate(out) if len(out) > 1 else out[0]
+
+            return shard_map(
+                body, mesh=mesh,
+                in_specs=(P("bins"), P(), P()),
+                out_specs=P("bins"),
+            )(bits, flat, lane)
+
+        return scatter_sorted_mesh
+
+    return extract, close_sort, close_counts_sorted, scatter_sorted, \
+        make_scatter_mesh
 
 
 _KERNELS = None
@@ -550,7 +636,7 @@ class DeviceBuildPipeline:
         import jax.numpy as jnp
 
         self._cut()
-        _, close_sort, close_counts_sorted, _ = _kernels()
+        _, close_sort, close_counts_sorted, _, _ = _kernels()
         pending = []  # (counts_d, kovf_d, group)
         for group in self.groups:
             vals, n, ovf, keys = self._gather_group(group)
@@ -627,23 +713,51 @@ class DeviceBuildPipeline:
 
     # -- pass 2: scatter -------------------------------------------------------
 
-    def scatter(self, ibf_config) -> np.ndarray:
-        """Build the bit-matrix on device; returns it as host uint32."""
+    def scatter(self, ibf_config, mesh=None) -> np.ndarray:
+        """Build the bit-matrix on device; returns it as host uint32.
+
+        With ``mesh`` (any jax Mesh with a ``bins`` axis) the flat
+        bit-matrix row-shards over the mesh and every scatter pass runs
+        shard-locally (make_scatter_mesh): per-chip plane memory and
+        scatter traffic drop by the shard count, lifting the
+        single-chip HBM ceiling that bounds build-at-scale.
+        """
+        import jax
         import jax.numpy as jnp
 
         from ganon_tpu.index import sizing
 
-        _, close_sort, _, scatter_sorted = _kernels()
+        _, close_sort, _, scatter_sorted, make_scatter_mesh = _kernels()
         technical = sizing.optimal_bins(ibf_config.n_bins)
         n_words = technical // 32
-        # flat on device: 2-D with small n_words tile-pads up to 64x
-        bits = jnp.zeros(
-            (ibf_config.bin_size_bits * n_words,), dtype=jnp.uint32
-        )
         plane_bytes = ibf_config.bin_size_bits * technical
-        n_chunks = 1
-        while n_chunks * PLANE_CHUNK_BYTES < plane_bytes:
-            n_chunks *= 2
+        rows_per_shard = 0
+        if mesh is not None:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            if tuple(mesh.axis_names) != ("bins",):
+                # build wants every device on one bins axis; flatten
+                # whatever mesh the caller holds (e.g. classify's
+                # (batch, bins)) into a dedicated 1-D build mesh
+                mesh = Mesh(np.asarray(mesh.devices).reshape(-1), ("bins",))
+            nb = mesh.shape["bins"]
+            rows_per_shard = -(-ibf_config.bin_size_bits // nb)
+            scatter_mesh = make_scatter_mesh(mesh)
+            # flat on device: 2-D with small n_words tile-pads up to 64x
+            bits = jax.device_put(
+                jnp.zeros((rows_per_shard * nb * n_words,), jnp.uint32),
+                NamedSharding(mesh, P("bins")),
+            )
+            n_chunks = 1
+            while n_chunks * PLANE_CHUNK_BYTES < plane_bytes // nb:
+                n_chunks *= 2
+        else:
+            bits = jnp.zeros(
+                (ibf_config.bin_size_bits * n_words,), dtype=jnp.uint32
+            )
+            n_chunks = 1
+            while n_chunks * PLANE_CHUNK_BYTES < plane_bytes:
+                n_chunks *= 2
 
         # per-file bin parameters from the reference's split math (must
         # agree with sizing.split_target_bins)
@@ -688,18 +802,29 @@ class DeviceBuildPipeline:
             for i, rec in enumerate(group.files):
                 params[0, i], params[1, i], params[2, i] = params_of[id(rec)]
                 skip_key[i] = rec.ovf
-            bits = scatter_sorted(
-                bits, k_s, hi_s, lo_s, uniq, jnp.asarray(skip_key),
-                jnp.asarray(params),
-                bin_size=ibf_config.bin_size_bits,
-                hash_functions=ibf_config.hash_functions,
-                n_words=n_words,
-                n_chunks=n_chunks,
-            )
+            if mesh is not None:
+                bits = scatter_mesh(
+                    bits, k_s, hi_s, lo_s, uniq, jnp.asarray(skip_key),
+                    jnp.asarray(params),
+                    bin_size=ibf_config.bin_size_bits,
+                    hash_functions=ibf_config.hash_functions,
+                    n_words=n_words,
+                    rows_per_shard=rows_per_shard,
+                    n_chunks=n_chunks,
+                )
+            else:
+                bits = scatter_sorted(
+                    bits, k_s, hi_s, lo_s, uniq, jnp.asarray(skip_key),
+                    jnp.asarray(params),
+                    bin_size=ibf_config.bin_size_bits,
+                    hash_functions=ibf_config.hash_functions,
+                    n_words=n_words,
+                    n_chunks=n_chunks,
+                )
             self._trim_cache()
 
         out = np.ascontiguousarray(
-            np.asarray(bits).reshape(ibf_config.bin_size_bits, n_words)
+            np.asarray(bits).reshape(-1, n_words)[:ibf_config.bin_size_bits]
         )
 
         # exact host path for overflowed files (rare)

@@ -190,3 +190,46 @@ def test_bits_identical_chunked_plane(monkeypatch):
     monkeypatch.setattr(device_build, "PLANE_CHUNK_BYTES", 1 << 16)
     bits, _, icfg = _device_path(seq_files, max_fp=0.05)
     assert np.array_equal(bits, ibf.bits)
+
+
+def test_scatter_mesh_identical_to_single_device():
+    """The mesh-sharded scatter (bits row-sharded over a 'bins' axis,
+    shard-local scatters offset by axis_index) produces a bit-identical
+    matrix to the single-device chunked scatter, including when
+    bin_size does not divide the shard count (padded rows trimmed)."""
+    import jax
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(17)
+    seq_files = _mkinput(rng)
+
+    def run(mesh):
+        pipe = DeviceBuildPipeline(K, W)
+        try:
+            for target, files in seq_files.items():
+                for fi, seqs in enumerate(files):
+                    for s in seqs:
+                        enc, _ = encode_seqs([s], max_len=len(s))
+                        pipe.add_sequence((target, fi), enc[0])
+            pipe.finish_counts()
+            hashes_count = {
+                t: c for t, c in pipe.hashes_count().items() if c
+            }
+            icfg = IBFConfig(kmer_size=K, window_size=W)
+            sizing.optimal_hashes(0.05, 0.0, icfg, hashes_count)
+            return pipe.scatter(icfg, mesh=mesh), icfg
+        finally:
+            pipe.close()
+
+    single, icfg = run(None)
+    mesh8 = Mesh(np.asarray(jax.devices()).reshape(-1), ("bins",))
+    sharded, icfg2 = run(mesh8)
+    assert icfg.bin_size_bits == icfg2.bin_size_bits
+    assert icfg.bin_size_bits % len(jax.devices())  # exercises padding
+    assert single.shape == sharded.shape
+    assert np.array_equal(single, sharded)
+    # a 2-D (batch, bins) mesh flattens onto the build's 1-D bins axis
+    from ganon_tpu.parallel.mesh import make_mesh
+
+    sharded2, _ = run(make_mesh(jax.devices()))
+    assert np.array_equal(single, sharded2)
