@@ -112,11 +112,14 @@ def compact_width(m_total: int) -> int:
     a fifth of the positions still covers >3x the expectation (measured
     max for random 150bp pairs at 19/31 is 46 of 240 positions, i.e.
     under the 48-slot width); overflowing reads fall back to the
-    uncompacted path, so counts stay exact either way. Long reads skip
-    compaction entirely.
+    uncompacted path, so counts stay exact either way.
+
+    Long reads compact too (the compare/select sort scales fine): the
+    uncompacted gather probes every masked window position — measured
+    5x the emitted-hash probes at L=10k, and at HBM-regime table widths
+    the [B, m, W] gather temps (4 x 4.9 GB at [512, 9970, 256] u32)
+    exceed HBM outright (scripts/longread_bench.py).
     """
-    if m_total > 2048:
-        return 0
     return min(m_total, max(32, -(-m_total // 5 // 8) * 8))
 
 
