@@ -20,6 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ganon_tpu.classify.device import classify_batch_packed, pack_batch_input
+from ganon_tpu.index.device_build import enable_compile_cache
+
+enable_compile_cache()
 from wide_table_bench import trace_jit_total
 
 K, W = 19, 31

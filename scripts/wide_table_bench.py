@@ -23,6 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ganon_tpu.classify.device import classify_batch_packed, pack_batch_input
+from ganon_tpu.index.device_build import enable_compile_cache
+
+enable_compile_cache()
 
 K, W = 19, 31
 B, L = 8192, 150
