@@ -190,6 +190,10 @@ def load_tax(tax_file: str) -> dict[str, tuple[str, str, str]]:
 # stats containers
 
 
+# max (reads x window positions) per uncompacted fallback gather — the
+# [rows, M, W] gather temps must fit HBM for any table width W
+_FALLBACK_GATHER_ROWS = 2048 * 512
+
 _TOTAL_FIELDS = (
     "input_seqs",
     "seqs_processed",
@@ -602,7 +606,35 @@ def _classify_batch(
         hc, mk, overflow = compact_hashes(hashes, mask, max_compact=mc)
         if not bool(np.asarray(overflow).any()):
             hashes, mask = hc, mk
-    counts_dev = [f.counts(hashes, mask, n_hashes_d) for f in ctx.filters]
+    # bound the uncompacted gather working set: overflowing long reads
+    # would otherwise materialize [B, M, W] gather temps beyond HBM
+    # (measured 4 x 4.9 GB at [512 reads, 9970 positions, 1 KB rows])
+    Bp, M = hashes.shape
+    step = Bp
+    if M > 2048:
+        step = max(1, min(Bp, _FALLBACK_GATHER_ROWS // M))
+        p = 1
+        while p * 2 <= step and Bp % (p * 2) == 0:
+            p *= 2
+        step = p
+    if step < Bp:
+        import jax.numpy as jnp
+
+        counts_dev = [
+            jnp.concatenate(
+                [
+                    f.counts(hashes[i:i + step], mask[i:i + step],
+                             n_hashes_d[i:i + step])
+                    for i in range(0, Bp, step)
+                ],
+                axis=0,
+            )
+            for f in ctx.filters
+        ]
+    else:
+        counts_dev = [
+            f.counts(hashes, mask, n_hashes_d) for f in ctx.filters
+        ]
     nh = np.asarray(n_hashes_d)[:B0].astype(np.int64)
     l1 = batch.len1.astype(np.int64)
     l2 = (

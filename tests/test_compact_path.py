@@ -147,3 +147,52 @@ def test_u32_layout_switch_equals_u8(tmp_path, monkeypatch):
         a = sorted(map(tuple, read_tsv(outputs[False] + ext)))
         b = sorted(map(tuple, read_tsv(outputs[True] + ext)))
         assert a == b, ext
+
+
+def test_fallback_gather_slicing_equals_unsliced(tmp_path, monkeypatch):
+    """The full-matrix fallback's batch slicing (bounds [B, M, W] gather
+    temps for uncompacted long reads) must not change any output."""
+    import ganon_tpu.classify.engine as eng
+
+    rng = random.Random(31)
+    refs = {
+        f"T{i}": "".join(rng.choice("ACGT") for _ in range(6000))
+        for i in range(4)
+    }
+    # k=10/w=12 emission density (~0.5) overflows the 1/5 compaction
+    # width, forcing the uncompacted fallback the slicing protects
+    db = build_db(tmp_path, refs, k=10, w=12, max_fp=0.01)
+    reads = {}
+    for i in range(12):
+        t = f"T{i % 4}"
+        s = rng.randint(0, 1000)
+        reads[f"q{i}"] = refs[t][s : s + 4000]
+    fq = tmp_path / "reads.fq"
+    write_fastq(fq, reads)
+
+    outputs = {}
+    for sliced in (False, True):
+        if sliced:
+            # M ~ 4000 positions, batch pads to 64 rows: a budget of
+            # 16*4096 forces step 16 -> 4 slices per batch
+            monkeypatch.setattr(eng, "_FALLBACK_GATHER_ROWS", 16 * 4096)
+        else:
+            monkeypatch.undo()
+        out = str(tmp_path / f"s{sliced}")
+        cfg = ClassifyConfig(
+            ibf=[db],
+            single_reads=[str(fq)],
+            output_prefix=out,
+            rel_cutoff=[0.3],
+            rel_filter=[0.2],
+            output_all=True,
+            output_unclassified=True,
+            output_stats=True,
+        )
+        run_classify(cfg)
+        outputs[sliced] = out
+
+    for ext in (".one", ".unc", ".rep", ".all", ".sta"):
+        a = sorted(map(tuple, read_tsv(outputs[False] + ext)))
+        b = sorted(map(tuple, read_tsv(outputs[True] + ext)))
+        assert a == b, ext
