@@ -86,51 +86,53 @@ def _classify_step(
 
 
 class ShardedClassifier:
-    """An IBF sharded over a mesh, classifying read batches end to end."""
+    """An IBF sharded over a mesh, classifying read batches end to end.
+
+    Rides the production fused path (classify.device): the table is a
+    mesh-sharded DeviceFilter, so hash compaction, the u8/u32 layout
+    choice, lane-grouped popcounts and the digit segment matmul are all
+    the same code the engine runs — the scaling numbers this produces
+    are the production numbers. Reads overflowing the compaction width
+    re-run uncompacted (exact either way).
+    """
 
     def __init__(self, ibf, mesh: Mesh):
+        from ganon_tpu.classify.device import DeviceFilter
+
         self.mesh = mesh
         self.cfg = ibf.ibf_config
-        self.num_targets = len(ibf.targets())
-        n_bins_shards = mesh.shape["bins"]
+        self.f = DeviceFilter(ibf, mesh=mesh)
+        self.num_targets = self.f.num_targets
         self.batch_mult = mesh.shape["batch"]
-        tbl8, byte_starts, byte_ends = pack_table_u8(
-            ibf.bits, ibf.bin_to_target_ids(), self.num_targets
-        )
-        # pad the byte axis so the bin shard is even across devices
-        W8 = tbl8.shape[1]
-        W8_pad = -(-W8 // n_bins_shards) * n_bins_shards
-        if W8_pad != W8:
-            tbl8 = np.pad(tbl8, ((0, 0), (0, W8_pad - W8)))
-        self.tbl8 = jax.device_put(tbl8, NamedSharding(mesh, P(None, "bins")))
-        self.byte_starts = jax.device_put(
-            jnp.asarray(byte_starts), NamedSharding(mesh, P())
-        )
-        self.byte_ends = jax.device_put(
-            jnp.asarray(byte_ends), NamedSharding(mesh, P())
-        )
 
     def counts(self, codes: np.ndarray, lengths: np.ndarray):
         """codes uint8 [B, L] / lengths int32 [B] -> (counts [B, T], n_hashes)."""
+        from ganon_tpu.classify import device as dev
+
         B, L = codes.shape
         B_pad = -(-B // self.batch_mult) * self.batch_mult
         if B_pad != B:
             codes = np.pad(codes, ((0, B_pad - B), (0, 0)))
             lengths = np.pad(lengths, (0, B_pad - B))
-        m1 = max(L - self.cfg.window_size + 1, 1)
-        sb = NamedSharding(self.mesh, P("batch", None))
-        codes = jax.device_put(codes, sb)
-        lengths = jax.device_put(lengths, NamedSharding(self.mesh, P("batch")))
-        counts, n_hashes = _classify_step(
-            self.tbl8,
-            self.byte_starts,
-            self.byte_ends,
-            codes,
-            lengths,
-            k=self.cfg.kmer_size,
-            w=self.cfg.window_size,
-            m1=m1,
+        k, w = self.cfg.kmer_size, self.cfg.window_size
+        m1 = max(L - w + 1, 1)
+        f = self.f
+        c1 = f.put_batch(codes)
+        l1 = f.put_batch(np.asarray(lengths, dtype=np.int32))
+        counts, n_hashes, ovf = dev.classify_counts_fused(
+            f.tbl8, f.byte_starts, f.byte_ends, c1, l1, None, None,
+            k=k, w=w, m1=m1, m2=0,
             bin_size=self.cfg.bin_size_bits,
             hash_functions=self.cfg.hash_functions,
         )
+        if bool(np.asarray(ovf).any()):
+            hashes, mask, nh = dev.extract_hashes(
+                c1, l1, None, None, k=k, w=w, m1=m1, m2=0
+            )
+            counts = dev.filter_counts_u8(
+                f.tbl8, f.byte_starts, f.byte_ends, hashes, mask, nh,
+                bin_size=self.cfg.bin_size_bits,
+                hash_functions=self.cfg.hash_functions,
+            )
+            n_hashes = nh
         return counts[:B], n_hashes[:B]
