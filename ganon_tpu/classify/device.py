@@ -424,8 +424,100 @@ def classify_batch_packed_raptor(
     return jnp.concatenate([p.astype(jnp.int32) for p in out])
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "w", "L1", "L2", "sub_params", "num_union", "top_k",
+    ),
+)
+def classify_batch_packed_multi(
+    tbls, startss, endss, colss, inbuf,
+    rel_cutoffs, rel_filter, hashes_limit, *,
+    k: int, w: int, L1: int, L2: int,
+    sub_params: tuple,  # ((bin_size, hash_functions), ...) per filter
+    num_union: int, top_k: int,
+):
+    """classify_batch_packed over SEVERAL independent IBFs in one level.
+
+    Reference semantics (GanonClassify.cpp select_matches, multi-filter
+    levels): each filter applies ITS rel-cutoff, per-target counts merge
+    into the union by strict-greater max (first filter wins ties), and
+    the winning filter's per-target fpr rides with the match for the
+    host-side fpr-query stage — so the winner index travels through the
+    top-K sort as a payload. rel-filter/top-K then run on the union.
+    (Deliberate deviation, matching our host slow path: min_count for
+    rel-filter is taken over the FINAL union, not over superseded
+    per-filter counts the reference transiently tracks.)
+
+    Requires the pack16 bound (union targets and counts <= 0xFFFF);
+    the engine gates on it. One dispatch, one packed fetch, layout:
+
+      [B*K] matches | [B*K] winners | [B] n_matches | [B] max_count |
+      [B] n_hashes | [B] overflow | [U] matches_t | [U] disc_t |
+      [U] unique_t | 3 scalars
+    """
+    codes1p, len1, codes2p, len2 = _unpack_batch_input(inbuf, L1, L2)
+    codes1 = unpack_codes_2bit(codes1p, L1)
+    codes2 = unpack_codes_2bit(codes2p, L2) if codes2p is not None else None
+    m1 = max(L1 - w + 1, 1)
+    m2 = max(L2 - w + 1, 1) if codes2p is not None else 0
+    hashes, mask, n_hashes = extract_hashes(
+        codes1, len1, codes2, len2, k=k, w=w, m1=m1, m2=m2
+    )
+    mc = compact_width(hashes.shape[1])
+    if mc and mc < hashes.shape[1]:
+        hashes, mask, overflow = compact_hashes(hashes, mask, max_compact=mc)
+    else:
+        overflow = jnp.zeros(hashes.shape[0], dtype=bool)
+    B = hashes.shape[0]
+    nhf = n_hashes.astype(jnp.float64)
+    valid = (n_hashes > 0) & (n_hashes <= hashes_limit)
+    ucounts = jnp.zeros((B, num_union), dtype=jnp.int32)
+    uwin = jnp.zeros((B, num_union), dtype=jnp.int32)
+    for fi, (tbl, bs, be, cols, (bin_size, hash_functions)) in enumerate(
+        zip(tbls, startss, endss, colss, sub_params)
+    ):
+        rows = ibf_row_indices(
+            hashes, bin_size=bin_size, hash_functions=hash_functions
+        )
+        c = jnp.minimum(
+            bulk_target_counts_packed(tbl, rows, mask, bs, be),
+            n_hashes[:, None],
+        )
+        cutoff = jnp.maximum(
+            jnp.ceil(nhf * rel_cutoffs[fi]), 1.0
+        ).astype(jnp.int32)
+        cand = jnp.where((c >= cutoff[:, None]) & valid[:, None], c, 0)
+        cu = jnp.zeros((B, num_union), dtype=jnp.int32).at[:, cols].set(cand)
+        better = cu > ucounts
+        ucounts = jnp.where(better, cu, ucounts)
+        uwin = jnp.where(better, fi, uwin)
+    # per-filter cutoffs are pre-applied (zeros dropped by the >=1 floor)
+    res = threshold_topk(
+        ucounts, n_hashes, jnp.float64(0.0), rel_filter, hashes_limit,
+        top_k=top_k, sort16=True, winners=uwin,
+    )
+    parts = [
+        ((res["top_vals"] << 16) | res["top_idx"]).ravel(),
+        res["top_win"].ravel(),
+        res["n_matches"],
+        res["max_count"],
+        n_hashes,
+        overflow.astype(jnp.int32),
+        res["matches_t"],
+        res["disc_t"],
+        res["unique_t"],
+        jnp.stack([
+            res["seqs_classified"].astype(jnp.int32),
+            res["kmers_from_classified"].astype(jnp.int32),
+            res["kmers_matches"].astype(jnp.int32),
+        ]),
+    ]
+    return jnp.concatenate([p.astype(jnp.int32) for p in parts])
+
+
 def unpack_batch_result(packed: np.ndarray, B: int, K: int, T: int,
-                        pack16: bool = True) -> dict:
+                        pack16: bool = True, has_win: bool = False) -> dict:
     """Split a classify_batch_packed fetch back into the result dict."""
     o = 0
 
@@ -442,9 +534,11 @@ def unpack_batch_result(packed: np.ndarray, B: int, K: int, T: int,
     else:
         top_vals = take(B * K, (B, K))
         top_idx = take(B * K, (B, K))
+    top_win = take(B * K, (B, K)) if has_win else None
     out = {
         "top_vals": top_vals,
         "top_idx": top_idx,
+        "top_win": top_win,
         "n_matches": take(B),
         "max_count": take(B),
         "n_hashes": take(B),
@@ -549,7 +643,7 @@ class DeviceFilter:
 @partial(jax.jit, static_argnames=("top_k", "sort16"))
 def threshold_topk(
     counts, n_hashes, rel_cutoff, rel_filter, hashes_limit, *,
-    top_k: int, sort16: bool = False,
+    top_k: int, sort16: bool = False, winners=None,
 ):
     """Device-side rel-cutoff + rel-filter + top-K match compaction.
 
@@ -594,20 +688,32 @@ def threshold_topk(
     n_matches = final.sum(axis=1).astype(jnp.int32)
     fvals = jnp.where(final, counts, 0)
     k = min(top_k, counts.shape[1])
+    top_win = None
     if sort16:
         T = counts.shape[1]
         idx_c = jnp.uint32(0xFFFF) - jnp.arange(T, dtype=jnp.uint32)
         packed = (fvals.astype(jnp.uint32) << jnp.uint32(16)) | idx_c
-        s = jax.lax.sort(packed, dimension=1, is_stable=False)
+        if winners is not None:
+            # carry the winning-filter id as a sort payload (a
+            # post-hoc [B, K] take_along_axis de-vectorizes on TPU)
+            s, w_s = jax.lax.sort(
+                (packed, winners.astype(jnp.uint32)),
+                dimension=1, num_keys=1, is_stable=False,
+            )
+            top_win = w_s[:, T - k:][:, ::-1].astype(jnp.int32)
+        else:
+            s = jax.lax.sort(packed, dimension=1, is_stable=False)
         top = s[:, T - k:][:, ::-1]
         top_vals = (top >> 16).astype(jnp.int32)
         top_idx = (
             jnp.uint32(0xFFFF) - (top & jnp.uint32(0xFFFF))
         ).astype(jnp.int32)
     else:
+        assert winners is None, "winners requires sort16"
         top_vals, top_idx = jax.lax.top_k(fvals, k)
     classified = n_matches > 0
-    return {
+    out = {} if top_win is None else {"top_win": top_win}
+    return out | {
         "top_vals": top_vals.astype(jnp.int32),
         "top_idx": top_idx.astype(jnp.int32),
         "n_matches": n_matches,

@@ -277,6 +277,13 @@ class LevelContext:
                 fprs[j] = f.target_fpr[t]
             self.filter_cols.append(cols)
             self.filter_fprs.append(fprs)
+        # per-filter fpr indexed by UNION column (multi-filter fast path:
+        # the winning filter's fpr rides with each match)
+        self.union_fprs: list[np.ndarray] = []
+        for cols, fprs in zip(self.filter_cols, self.filter_fprs):
+            u = np.zeros(len(self.union_targets), dtype=np.float64)
+            u[cols] = fprs
+            self.union_fprs.append(u)
 
         # taxonomy: merge (first wins), add missing targets under root
         self.tax: dict[str, tuple[str, str, str]] = {}
@@ -467,8 +474,10 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
     """Kick off the single-dispatch fast path; None when not applicable
     (multi-filter level, forest/raptor HIBF, or device thresholding off).
     Returns the in-flight packed device array + unpack dims."""
-    if len(ctx.filters) != 1 or not cfg.device_thresholding:
+    if not cfg.device_thresholding:
         return None
+    if len(ctx.filters) != 1:
+        return _dispatch_batch_fast_multi(batch, ctx, cfg)
     f = ctx.filters[0]
     is_forest = (
         isinstance(f, dev.DeviceHIBF)
@@ -540,16 +549,61 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
             hash_functions=f.ibf_config.hash_functions,
             top_k=K, pack16=pack16,
         )
-    return packed, batch_pad, K, f.num_targets, pack16
+    return packed, batch_pad, K, f.num_targets, pack16, False
+
+
+def _dispatch_batch_fast_multi(batch: EncodedBatch, ctx: LevelContext,
+                               cfg: ClassifyConfig):
+    """Single-dispatch fast path for a multi-filter level (several
+    plain IBFs classified together; per-filter rel-cutoffs, union merge
+    and the winning filter id all on device). None when a filter is a
+    forest/raptor HIBF or the pack16 bound does not hold."""
+    import jax.numpy as jnp
+
+    if not all(type(f) is dev.DeviceFilter for f in ctx.filters):
+        return None
+    U = len(ctx.union_targets)
+    if U > 0xFFFF or cfg.hashes_limit > 0xFFFF:
+        return None
+    B0 = len(batch)
+    w = ctx.window_size
+    batch_pad = dev.bucket_len(B0, minimum=64)
+    mult = max(getattr(f, "batch_mult", 1) for f in ctx.filters)
+    if mult > 1 and batch_pad % mult:
+        batch_pad = -(-batch_pad // mult) * mult
+    codes1, len1, codes2, len2, m1, m2 = dev.batch_to_device(
+        batch, w, batch_pad
+    )
+    K = min(cfg.top_k_matches, U)
+    inbuf = dev.pack_batch_input(codes1, len1, codes2, len2)
+    packed = dev.classify_batch_packed_multi(
+        tuple(f.tbl8 for f in ctx.filters),
+        tuple(f.byte_starts for f in ctx.filters),
+        tuple(f.byte_ends for f in ctx.filters),
+        tuple(jnp.asarray(c, dtype=jnp.int32) for c in ctx.filter_cols),
+        ctx.filters[0].put_batch(inbuf),
+        jnp.asarray([s.rel_cutoff for s in ctx.specs], dtype=jnp.float64),
+        ctx.level.rel_filter, cfg.hashes_limit,
+        k=ctx.kmer_size, w=w, L1=codes1.shape[1],
+        L2=codes2.shape[1] if codes2 is not None else 0,
+        sub_params=tuple(
+            (f.ibf_config.bin_size_bits, f.ibf_config.hash_functions)
+            for f in ctx.filters
+        ),
+        num_union=U, top_k=K,
+    )
+    return packed, batch_pad, K, U, True, True
 
 
 def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
                        out, one_files, all_files):
     """Fetch + finish an in-flight fast batch (one device->host trip);
     falls back to the exact full path on compaction/top-K overflow."""
-    batch, (packed, B_pad, K, T, pack16) = pending
+    batch, (packed, B_pad, K, T, pack16, has_win) = pending
     B0 = len(batch)
-    res = dev.unpack_batch_result(np.asarray(packed), B_pad, K, T, pack16)
+    res = dev.unpack_batch_result(
+        np.asarray(packed), B_pad, K, T, pack16, has_win
+    )
     if (res["overflow"][:B0].any()
             or (res["n_matches"][:B0] > K).any()):
         return _classify_batch(
@@ -828,11 +882,17 @@ def _finish_batch_compact(
 
     if ctx.level.fpr_query < 1.0:
         cache = BinomTailCache()
-        fprs = ctx.filter_fprs[0]
+        # single filter: fpr by (union == filter) target index; multi:
+        # the device reports which filter won each match (reference
+        # semantics: the winner's fpr, GanonClassify.cpp:533)
+        top_win = res.get("top_win")
+        fprs = ctx.union_fprs[0]
         for i in np.nonzero(n_matches)[0]:
             keep = []
             for j in range(int(n_matches[i])):
                 t = int(top_idx[i, j])
+                if top_win is not None:
+                    fprs = ctx.union_fprs[int(top_win[i, j])]
                 q = cache.q(int(top_vals[i, j]), int(nh[i]), float(fprs[t]))
                 if q > ctx.level.fpr_query:
                     _rep(ctx.union_targets[t]).disc_fpr += 1

@@ -196,3 +196,74 @@ def test_fallback_gather_slicing_equals_unsliced(tmp_path, monkeypatch):
         a = sorted(map(tuple, read_tsv(outputs[False] + ext)))
         b = sorted(map(tuple, read_tsv(outputs[True] + ext)))
         assert a == b, ext
+
+
+@pytest.mark.parametrize("fpr_query", [1.0, 1e-3])
+def test_multi_filter_fast_equals_slow(tmp_path, fpr_query):
+    """The multi-filter single-dispatch fast path (per-filter
+    rel-cutoffs, strict-greater union merge, winner-filter fpr) must
+    match the host slow path, including ambiguous targets present in
+    both databases with different content."""
+    rng = random.Random(41)
+    refs1 = {
+        f"T{i}": "".join(rng.choice("ACGT") for _ in range(300))
+        for i in range(5)
+    }
+    # AMB exists in both dbs with overlapping-but-different content so
+    # either filter can win a read, exercising the winner payload
+    amb_core = "".join(rng.choice("ACGT") for _ in range(200))
+    refs1["AMB"] = amb_core + "".join(rng.choice("ACGT") for _ in range(100))
+    refs2 = {
+        f"S{i}": "".join(rng.choice("ACGT") for _ in range(300))
+        for i in range(4)
+    }
+    refs2["AMB"] = "".join(rng.choice("ACGT") for _ in range(80)) + amb_core
+    db1 = build_db(tmp_path, refs1, name="db1", k=10, w=12, max_fp=0.05)
+    db2 = build_db(tmp_path, refs2, name="db2", k=10, w=12, max_fp=0.01)
+
+    reads = {}
+    pool = {**refs1, **refs2}
+    keys = sorted(pool)
+    for i in range(80):
+        t = keys[i % len(keys)]
+        s = rng.randint(0, 200)
+        reads[f"q{i}"] = pool[t][s : s + rng.randint(25, 60)]
+    for i in range(10):
+        reads[f"amb{i}"] = amb_core[i * 10 : i * 10 + 50]
+    fq = tmp_path / "reads.fq"
+    write_fastq(fq, reads)
+
+    outputs = {}
+    for mode in (True, False):
+        out = str(tmp_path / f"mf{mode}{fpr_query}")
+        cfg = ClassifyConfig(
+            ibf=[db1, db2],
+            single_reads=[str(fq)],
+            output_prefix=out,
+            rel_cutoff=[0.3, 0.5],  # per-filter cutoffs
+            rel_filter=[0.4],
+            fpr_query=[fpr_query],
+            output_all=True,
+            output_unclassified=True,
+            output_stats=True,
+            device_thresholding=mode,
+        )
+        stats = run_classify(cfg)
+        outputs[mode] = (out, stats)
+        if mode:
+            # the fast path must actually have engaged (pack16 bounds ok)
+            assert len(read_tsv(out + ".all")) > 0
+
+    for ext in (".one", ".unc", ".rep", ".sta", ".all"):
+        a = sorted(map(tuple, read_tsv(outputs[True][0] + ext)))
+        b = sorted(map(tuple, read_tsv(outputs[False][0] + ext)))
+        assert a == b, ext
+
+    ta = outputs[True][1]["totals"][""]
+    tb = outputs[False][1]["totals"][""]
+    for f in (
+        "seqs_processed", "seqs_classified", "matches", "seqs_unique",
+        "discarded_matches_filter", "discarded_matches_fprquery",
+        "kmers_matches", "kmers_from_classified_seqs",
+    ):
+        assert getattr(ta, f) == getattr(tb, f), f
