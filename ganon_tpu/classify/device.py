@@ -736,14 +736,17 @@ def threshold_topk(
 class DeviceHIBF:
     """A size-stratified IBF forest on device (same interface as
     DeviceFilter): per-class counts are concatenated in global target
-    order (classes hold disjoint targets)."""
+    order (classes hold disjoint targets). ``mesh`` shards every
+    sub-IBF's table over the bins axis (DeviceFilter)."""
 
-    def __init__(self, hibf, device=None):
+    def __init__(self, hibf, device=None, mesh=None):
         self.ibf_config = hibf.ibf_config
         self.targets = hibf.targets()
         self.num_targets = len(self.targets)
+        self.mesh = mesh
+        self.batch_mult = 1 if mesh is None else mesh.shape["batch"]
         tid = {t: i for i, t in enumerate(self.targets)}
-        self.subs = [DeviceFilter(s) for s in hibf.subs]
+        self.subs = [DeviceFilter(s, mesh=mesh) for s in hibf.subs]
         self.sub_cols = [
             np.asarray([tid[t] for t in s.targets], dtype=np.int32)
             for s in self.subs
@@ -758,6 +761,8 @@ class DeviceHIBF:
                 break
             off += len(cols)
         self.target_fpr = hibf.target_fpr()
+
+    put_batch = DeviceFilter.put_batch
 
     def counts(self, hashes, mask, n_hashes) -> np.ndarray:
         out = jnp.zeros(
@@ -778,11 +783,13 @@ class DeviceRaptorHIBF:
     scattered into global target columns.
     """
 
-    def __init__(self, rhibf, device=None):
+    def __init__(self, rhibf, device=None, mesh=None):
         self.ibf_config = rhibf.ibf_config
         self.targets = rhibf.targets()
         self.num_targets = len(self.targets)
         self.target_fpr = rhibf.target_fpr()
+        self.mesh = mesh
+        self.batch_mult = 1 if mesh is None else mesh.shape["batch"]
         self.subs = []
         for (bits, bins, bin_size, hash_funs), b2f in zip(
             rhibf.ibfs, rhibf.bin_to_filename
@@ -804,16 +811,33 @@ class DeviceRaptorHIBF:
                 dtype=np.int32,
             )
             tbl8, bstarts, bends = pack_table_u8(bits, b2t_local, len(used))
-            if tbl8.nbytes > _U32_TABLE_BYTES:
-                tbl8 = table_as_u32(tbl8)
+            nb = 1 if mesh is None else mesh.shape["bins"]
+            wide = tbl8.nbytes // nb > _U32_TABLE_BYTES
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                align = 4 * nb if wide else nb
+                W8 = tbl8.shape[1]
+                W8_pad = -(-W8 // align) * align
+                if W8_pad != W8:
+                    tbl8 = np.pad(tbl8, ((0, 0), (0, W8_pad - W8)))
+                tbl_dev = jax.device_put(
+                    table_as_u32(tbl8) if wide else tbl8,
+                    NamedSharding(mesh, P(None, "bins")),
+                )
+            else:
+                tbl_dev = jnp.asarray(
+                    table_as_u32(tbl8) if wide else tbl8)
             self.subs.append({
-                "tbl8": jnp.asarray(tbl8),
+                "tbl8": tbl_dev,
                 "byte_starts": jnp.asarray(bstarts),
                 "byte_ends": jnp.asarray(bends),
                 "bin_size": int(bin_size),
                 "hash_funs": int(hash_funs),
                 "cols": np.asarray(used, dtype=np.int32),
             })
+
+    put_batch = DeviceFilter.put_batch
 
     def counts(self, hashes, mask, n_hashes) -> np.ndarray:
         out = jnp.zeros((hashes.shape[0], self.num_targets), dtype=jnp.int32)
@@ -846,8 +870,8 @@ def load_device_filter(path: str, mesh=None):
         import zipfile
 
         if not zipfile.is_zipfile(path) and serialize.is_raptor_hibf(path):
-            return DeviceRaptorHIBF(RaptorHIBF.load(path))
-        return DeviceHIBF(HIBF.load(path))
+            return DeviceRaptorHIBF(RaptorHIBF.load(path), mesh=mesh)
+        return DeviceHIBF(HIBF.load(path), mesh=mesh)
     return DeviceFilter(IBF.load(path), mesh=mesh)
 
 

@@ -512,7 +512,7 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
             tuple(s["byte_starts"] for s in f.subs),
             tuple(s["byte_ends"] for s in f.subs),
             tuple(jnp.asarray(s["cols"]) for s in f.subs),
-            jnp.asarray(inbuf),
+            f.put_batch(inbuf),
             ctx.specs[0].rel_cutoff, ctx.level.rel_filter, cfg.hashes_limit,
             k=ctx.kmer_size, w=w, L1=codes1.shape[1],
             L2=codes2.shape[1] if codes2 is not None else 0,
@@ -529,7 +529,7 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
             tuple(s.tbl8 for s in f.subs),
             tuple(s.byte_starts for s in f.subs),
             tuple(s.byte_ends for s in f.subs),
-            jnp.asarray(inbuf),
+            f.put_batch(inbuf),
             ctx.specs[0].rel_cutoff, ctx.level.rel_filter, cfg.hashes_limit,
             k=ctx.kmer_size, w=w, L1=codes1.shape[1],
             L2=codes2.shape[1] if codes2 is not None else 0,
