@@ -325,6 +325,12 @@ class _Out:
 
 def run_classify(cfg: ClassifyConfig) -> dict:
     """Run the full classification; returns collected stats (for tests)."""
+    # the fused classify program costs minutes of XLA compile per shape
+    # on TPU (measured 478 s cold); the persistent cache makes that a
+    # once-ever cost instead of once-per-session
+    from ganon_tpu.index.device_build import enable_compile_cache
+
+    enable_compile_cache()
     t_start = _time.monotonic()
     cfg.validate()
     levels = parse_hierarchy(cfg)

@@ -60,6 +60,30 @@ def _trim(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return codes[:, : min(m, codes.shape[1])]
 
 
+def _read_exact(reader, n):
+    """Exactly n reads from an adaptive reader (mate-pairing needs 1:1
+    rows even when the reader splits batches to grow its row width);
+    fewer only at EOF. Returns (codes, lengths) width-padded across
+    chunks."""
+    chunks = []
+    got = 0
+    while got < n:
+        _, codes, lengths = reader.next_batch_adaptive(n - got)
+        if not len(lengths):
+            break
+        chunks.append((codes, lengths))
+        got += len(lengths)
+    if not chunks:
+        return np.zeros((0, 1), np.uint8), np.zeros((0,), np.int32)
+    if len(chunks) == 1:
+        return chunks[0]
+    w = max(c.shape[1] for c, _ in chunks)
+    codes = np.concatenate(
+        [np.pad(c, ((0, 0), (0, w - c.shape[1]))) for c, _ in chunks]
+    )
+    return codes, np.concatenate([ln for _, ln in chunks])
+
+
 def _native_batches(file1, file2, prefix, n_reads):
     from ganon_tpu.native import NativeSeqReader
 
@@ -67,19 +91,19 @@ def _native_batches(file1, file2, prefix, n_reads):
     r2 = NativeSeqReader(file2) if file2 else None
     paired = r2 is not None
     while True:
-        ids, codes1, len1 = r1.next_batch(n_reads, MAX_READ_LEN)
+        ids, codes1, len1 = r1.next_batch_adaptive(n_reads)
         if not ids:
             return
         b = EncodedBatch(prefix=prefix, paired=paired, ids=ids)
-        b.codes1, b.len1 = _trim(codes1, len1), np.minimum(len1, MAX_READ_LEN)
+        b.codes1, b.len1 = _trim(codes1, len1), len1
         if paired:
-            _, codes2, len2 = r2.next_batch(len(ids), MAX_READ_LEN)
+            codes2, len2 = _read_exact(r2, len(ids))
             if codes2.shape[0] < len(ids):  # mate file shorter
                 pad = len(ids) - codes2.shape[0]
                 codes2 = np.pad(codes2, ((0, pad), (0, 0)))
                 len2 = np.pad(len2, (0, pad))
             b.codes2 = _trim(codes2, len2)
-            b.len2 = np.minimum(len2, MAX_READ_LEN)
+            b.len2 = len2
         yield b
 
 

@@ -63,6 +63,12 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_char_p, ctypes.c_int64,
     ]
+    lib.seqio_next_batch2.restype = ctypes.c_int64
+    lib.seqio_next_batch2.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.seqio_next_pieces.restype = ctypes.c_int64
     lib.seqio_next_pieces.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -88,6 +94,7 @@ class NativeSeqReader:
         self._h = lib.seqio_open(path.encode())
         if not self._h:
             raise IOError(f"cannot open sequence file: {path}")
+        self._cur_width = 256  # adaptive row width (next_batch_adaptive)
 
     def next_batch(self, max_reads: int, max_len: int):
         """Returns (ids list[str], codes uint8 [n, max_len], lengths [n])."""
@@ -107,6 +114,45 @@ class NativeSeqReader:
             return [], codes[:0], lengths[:0]
         ids = ids_buf.value.decode(errors="replace").split("\n")[:n]
         return ids, codes[:n], lengths[:n]
+
+    def next_batch_adaptive(self, max_reads: int, row_budget: int = 64 << 20):
+        """Batch of reads with the row width adapted to the data.
+
+        Starts at 256 columns and grows (power of two) when a longer
+        read appears — a fixed worst-case width costs two orders of
+        magnitude more allocation+memset than the reads themselves for
+        short-read data. When the width grows, the row count shrinks to
+        keep each batch under ``row_budget`` bytes, so a stray 1 Mb
+        record cannot explode the buffer. Never truncates. Returns
+        (ids, codes [n, cur_width], lengths); n == 0 only at EOF.
+        """
+        while True:
+            width = self._cur_width
+            rows = max(1, min(max_reads, row_budget // width))
+            codes = np.zeros((rows, width), dtype=np.uint8)
+            lengths = np.zeros((rows,), dtype=np.int32)
+            ids_cap = rows * 256
+            ids_buf = ctypes.create_string_buffer(ids_cap)
+            needed = ctypes.c_int64(0)
+            n = self._lib.seqio_next_batch2(
+                self._h, rows, width,
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ids_buf, ids_cap, ctypes.byref(needed),
+            )
+            if n < 0:
+                raise IOError("native seqio read error")
+            if needed.value:
+                w = self._cur_width
+                while w < needed.value:
+                    w *= 2
+                self._cur_width = w
+                if n == 0:
+                    continue  # retry with the grown width
+            if n == 0:
+                return [], codes[:0], lengths[:0]
+            ids = ids_buf.value.decode(errors="replace").split("\n")[:n]
+            return ids, codes[:n], lengths[:n]
 
     def next_pieces(self, max_pieces: int, chunk_len: int, overlap: int,
                     min_len: int = 0):

@@ -22,6 +22,8 @@ struct Reader {
     bool eof = false;
     std::string pending;          // lookahead line (fasta headers)
     bool has_pending = false;
+    std::string pending_hdr, pending_sq;  // stashed overlong record
+    bool has_pending_read = false;        // (seqio_next_batch2)
     std::vector<char> buf;
     // piece-streaming state (seqio_next_pieces)
     std::string seqbuf;           // unemitted tail of the current sequence
@@ -148,6 +150,72 @@ int64_t seqio_next_batch(void* handle, int64_t max_reads, int64_t max_len,
         encode_into(seq, row, max_len);
         lengths[count] = (int32_t)seq.size();
         // id: header without '>'/'@'
+        const char* id = header.c_str() + 1;
+        int64_t idn = (int64_t)header.size() - 1;
+        if (ids_len + idn + 1 < ids_cap) {
+            std::memcpy(ids_buf + ids_len, id, idn);
+            ids_len += idn;
+            ids_buf[ids_len++] = '\n';
+        }
+        ++count;
+    }
+    if (ids_len < ids_cap) ids_buf[ids_len] = '\0';
+    return count;
+}
+
+// Like seqio_next_batch, but NEVER truncates: a record longer than
+// max_len is stashed inside the reader, *needed is set to its length,
+// and the call returns the records read so far (possibly 0). The caller
+// re-invokes with a larger max_len and the stashed record leads the next
+// batch. Keeps row buffers sized to the reads actually seen instead of a
+// worst-case width (a fixed 16 KB row costs ~270 MB of memset per 8K
+// batch of 150 bp reads — the measured host-side classify bottleneck).
+int64_t seqio_next_batch2(void* handle, int64_t max_reads, int64_t max_len,
+                          uint8_t* codes, int32_t* lengths, char* ids_buf,
+                          int64_t ids_cap, int64_t* needed) {
+    auto* r = static_cast<Reader*>(handle);
+    if (!r) return -1;
+    *needed = 0;
+    int64_t count = 0;
+    int64_t ids_len = 0;
+    std::string line, header, seq;
+    while (count < max_reads) {
+        if (r->has_pending_read) {
+            header = std::move(r->pending_hdr);
+            seq = std::move(r->pending_sq);
+            r->has_pending_read = false;
+        } else {
+            if (!r->getline(header)) break;
+            if (header.empty()) continue;
+            seq.clear();
+            if (r->fastq) {
+                if (!r->getline(seq)) break;
+                r->getline(line);  // +
+                r->getline(line);  // qual
+            } else {
+                for (;;) {
+                    if (!r->getline(line)) break;
+                    if (!line.empty() && line[0] == '>') {
+                        r->pending = std::move(line);
+                        r->has_pending = true;
+                        break;
+                    }
+                    seq.append(line);
+                    if (r->eof) break;
+                }
+            }
+        }
+        if ((int64_t)seq.size() > max_len) {
+            r->pending_hdr = std::move(header);
+            r->pending_sq = std::move(seq);
+            r->has_pending_read = true;
+            *needed = (int64_t)r->pending_sq.size();
+            break;
+        }
+        uint8_t* row = codes + count * max_len;
+        std::memset(row, 0, max_len);
+        encode_into(seq, row, max_len);
+        lengths[count] = (int32_t)seq.size();
         const char* id = header.c_str() + 1;
         int64_t idn = (int64_t)header.size() - 1;
         if (ids_len + idn + 1 < ids_cap) {

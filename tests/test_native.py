@@ -141,3 +141,40 @@ def test_next_pieces_matches_python_reader(tmp_path):
     assert len(got) == len(expect)
     for g, e in zip(got, expect):
         np.testing.assert_array_equal(g, e)
+
+
+def test_adaptive_batch_growth_no_truncation(tmp_path):
+    """next_batch_adaptive grows its row width for long records instead
+    of truncating, splitting the batch at the growth point; _read_exact
+    keeps mate pairing aligned across the splits."""
+    import random
+
+    rng = random.Random(5)
+    long_seq = "".join(rng.choice("ACGT") for _ in range(5000))
+    recs = [(f"s{i}", "ACGT" * 30) for i in range(6)]
+    recs.insert(3, ("long", long_seq))
+    p = str(tmp_path / "mix.fq")
+    _write_fastq(p, recs)
+
+    r = NativeSeqReader(p)
+    got = []
+    while True:
+        ids, codes, lengths = r.next_batch_adaptive(100)
+        if not ids:
+            break
+        for i, rid in enumerate(ids):
+            got.append((rid, int(lengths[i]), codes[i, :lengths[i]]))
+    assert [g[0] for g in got] == [rid for rid, _ in recs]
+    by_id = {g[0]: g for g in got}
+    assert by_id["long"][1] == 5000  # NOT truncated
+    want, _ = encode_seqs([long_seq], max_len=5000)
+    assert (by_id["long"][2] == want[0]).all()
+    assert r._cur_width >= 5000  # width grew
+
+    # _read_exact pairs across the growth split
+    from ganon_tpu.io.pipeline import _read_exact
+
+    r2 = NativeSeqReader(p)
+    codes, lengths = _read_exact(r2, len(recs))
+    assert len(lengths) == len(recs)
+    assert int(lengths[3]) == 5000
