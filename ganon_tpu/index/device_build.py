@@ -443,6 +443,7 @@ class _Batch:
     pids: list                       # spill piece ids, one per row
     rows: list                       # owning _FileRec, one per row
     nbytes: int = 0
+    dev: object = None               # owner device (group-parallel counting)
 
 
 @dataclass
@@ -454,10 +455,19 @@ class _Group:
 
 
 class DeviceBuildPipeline:
-    """Streamed two-pass device IBF build (see module docstring)."""
+    """Streamed two-pass device IBF build (see module docstring).
+
+    With several visible devices, close groups round-robin over them:
+    each group's extraction and dedup-sort dispatches run on its owner
+    device (async dispatch makes them concurrent), and the scatter pass
+    re-homes the sorted entries to the scatter's device/mesh. Groups
+    never interact until the final bit-matrix, so results are
+    bit-identical to single-device (tests/test_device_build.py).
+    """
 
     def __init__(self, k: int, w: int, tmp_dir: str | None = None,
-                 device_cache_bytes: int = DEVICE_CACHE_BYTES):
+                 device_cache_bytes: int = DEVICE_CACHE_BYTES,
+                 devices=None):
         self.k, self.w = k, w
         self.spill = PieceSpill(tmp_dir)
         self.files: list[_FileRec] = []
@@ -472,6 +482,17 @@ class DeviceBuildPipeline:
         self._cut_batch0 = 0          # first batch id of the open group
         self._cut_files: list = []    # files of the open group
         self._rows_since_cut = 0
+        self._devices = devices       # None = all local (resolved lazily)
+
+    def _group_device(self):
+        """Owner device of the OPEN group (groups round-robin)."""
+        if self._devices is None:
+            import jax
+
+            self._devices = jax.devices()
+        if len(self._devices) == 1:
+            return None  # uncommitted: keep default placement
+        return self._devices[len(self.groups) % len(self._devices)]
 
     # -- ingest ------------------------------------------------------------
 
@@ -534,7 +555,8 @@ class DeviceBuildPipeline:
         if not buf:
             return
         bt = self._extract_batch(
-            L, [pid for _, pid, _ in buf], [p for _, _, p in buf]
+            L, [pid for _, pid, _ in buf], [p for _, _, p in buf],
+            dev=self._group_device(),
         )
         bt.rows = [rec for rec, _, _ in buf]
         self.batches.append(bt)
@@ -542,7 +564,9 @@ class DeviceBuildPipeline:
         self._trim_cache()
 
     def _extract_batch(self, L: int, pids: list,
-                       packed_rows: list | None = None) -> _Batch:
+                       packed_rows: list | None = None,
+                       dev=None) -> _Batch:
+        import jax
         import jax.numpy as jnp
 
         extract = _kernels()[0]
@@ -559,18 +583,27 @@ class DeviceBuildPipeline:
                 packed[i] = prow
                 lengths[i] = plen
         cap = _unique_cap(L)
+        if dev is not None:
+            packed_d = jax.device_put(packed, dev)
+            lengths_d = jax.device_put(lengths, dev)
+        else:
+            packed_d = jnp.asarray(packed)
+            lengths_d = jnp.asarray(lengths)
         vals, n, ovf = extract(
-            jnp.asarray(packed), jnp.asarray(lengths),
-            k=self.k, w=self.w, L=L, cap=cap,
+            packed_d, lengths_d, k=self.k, w=self.w, L=L, cap=cap,
         )
-        return _Batch(vals, n, ovf, cap, L, list(pids), [],
-                      nbytes=B * (cap * 8 + 8))
+        bt = _Batch(vals, n, ovf, cap, L, list(pids), [],
+                    nbytes=B * (cap * 8 + 8))
+        bt.dev = dev
+        return bt
 
     def _ensure_group(self, group: _Group) -> None:
         for bid in group.batch_ids:
             bt = self.batches[bid]
             if bt.vals is None:
-                nb = self._extract_batch(bt.L, bt.pids)
+                nb = self._extract_batch(
+                    bt.L, bt.pids, dev=getattr(bt, "dev", None)
+                )
                 bt.vals, bt.n, bt.ovf = nb.vals, nb.n, nb.ovf
                 self._cache_bytes += bt.nbytes
 
@@ -653,25 +686,37 @@ class DeviceBuildPipeline:
             self._trim_cache()
         if not pending:
             return
-        # one fetch for everything (chunked concat keeps op arity sane)
-        flat = []
-        for counts, kovf, _ in pending:
-            flat.extend((counts, kovf))
-        merged = []
-        for i in range(0, len(flat), 256):
-            merged.append(jnp.concatenate(flat[i : i + 256]))
-        allv = np.asarray(
-            jnp.concatenate(merged) if len(merged) > 1 else merged[0]
-        )
-        off = 0
-        for counts_d, kovf_d, group in pending:
-            R = counts_d.shape[0]
-            counts = allv[off : off + R]
-            kovf = allv[off + R : off + 2 * R]
-            off += 2 * R
-            for i, rec in enumerate(group.files):
-                rec.count = int(counts[i])
-                rec.ovf = bool(kovf[i])
+        # one fetch per owner device (groups round-robin over devices;
+        # concatenating across devices is not allowed). Chunked concat
+        # keeps op arity sane.
+        def _devkey(x):
+            d = getattr(x, "devices", None)
+            return tuple(sorted(map(str, d()))) if d else ""
+
+        by_dev: dict = {}
+        for counts, kovf, group in pending:
+            by_dev.setdefault(_devkey(counts), []).append(
+                (counts, kovf, group)
+            )
+        for dev_pending in by_dev.values():
+            flat = []
+            for counts, kovf, _ in dev_pending:
+                flat.extend((counts, kovf))
+            merged = []
+            for i in range(0, len(flat), 256):
+                merged.append(jnp.concatenate(flat[i : i + 256]))
+            allv = np.asarray(
+                jnp.concatenate(merged) if len(merged) > 1 else merged[0]
+            )
+            off = 0
+            for counts_d, kovf_d, group in dev_pending:
+                R = counts_d.shape[0]
+                counts = allv[off : off + R]
+                kovf = allv[off + R : off + 2 * R]
+                off += 2 * R
+                for i, rec in enumerate(group.files):
+                    rec.count = int(counts[i])
+                    rec.ovf = bool(kovf[i])
         # exact host fallback for overflowing files
         for rec in self.files:
             if rec.ovf:
@@ -802,6 +847,20 @@ class DeviceBuildPipeline:
             for i, rec in enumerate(group.files):
                 params[0, i], params[1, i], params[2, i] = params_of[id(rec)]
                 skip_key[i] = rec.ovf
+            # re-home entries counted on another device (group-parallel
+            # counting): the scatter's device/mesh wins
+            if mesh is not None:
+                rep = NamedSharding(mesh, P())
+                k_s, hi_s, lo_s, uniq = (
+                    jax.device_put(x, rep) for x in (k_s, hi_s, lo_s, uniq)
+                )
+            elif getattr(
+                next(iter(k_s.devices())), "id", 0
+            ) != getattr(jax.devices()[0], "id", 0):
+                k_s, hi_s, lo_s, uniq = (
+                    jax.device_put(x, jax.devices()[0])
+                    for x in (k_s, hi_s, lo_s, uniq)
+                )
             if mesh is not None:
                 bits = scatter_mesh(
                     bits, k_s, hi_s, lo_s, uniq, jnp.asarray(skip_key),
