@@ -267,3 +267,40 @@ def test_multi_filter_fast_equals_slow(tmp_path, fpr_query):
         "kmers_matches", "kmers_from_classified_seqs",
     ):
         assert getattr(ta, f) == getattr(tb, f), f
+
+
+def test_threshold_topk_sort16_equals_topk():
+    """The packed u32 single-sort top-K must reproduce lax.top_k exactly
+    (descending count, ascending index on ties), incl. the winner
+    payload variant."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ganon_tpu.classify.device import threshold_topk
+
+    rng = np.random.default_rng(7)
+    B, T = 64, 300
+    counts = rng.integers(0, 50, size=(B, T)).astype(np.int32)
+    counts[rng.random((B, T)) < 0.8] = 0
+    nh = rng.integers(1, 60, size=B).astype(np.int32)
+    counts = np.minimum(counts, nh[:, None])
+    args = (jnp.asarray(counts), jnp.asarray(nh), jnp.float64(0.2),
+            jnp.float64(0.6), jnp.int32(65535))
+    a = {k: np.asarray(v) for k, v in threshold_topk(
+        *args, top_k=16, sort16=False).items()}
+    b = {k: np.asarray(v) for k, v in threshold_topk(
+        *args, top_k=16, sort16=True).items()}
+    for key in a:
+        assert np.array_equal(a[key], b[key]), key
+    winners = jnp.asarray(rng.integers(0, 3, size=(B, T)), dtype=jnp.int32)
+    c = threshold_topk(*args, top_k=16, sort16=True, winners=winners)
+    assert np.array_equal(np.asarray(c["top_vals"]), a["top_vals"])
+    assert np.array_equal(np.asarray(c["top_idx"]), a["top_idx"])
+    # winner payload rides with its match
+    tw = np.asarray(c["top_win"])
+    ti = np.asarray(c["top_idx"])
+    nm = np.asarray(c["n_matches"])
+    wn = np.asarray(winners)
+    for i in range(B):
+        for j in range(int(nm[i]) if nm[i] <= 16 else 0):
+            assert tw[i, j] == wn[i, ti[i, j]]
