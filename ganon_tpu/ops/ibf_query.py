@@ -167,7 +167,9 @@ def pack_table_u8(bits: np.ndarray, bin_to_target: np.ndarray,
     bins moved to a byte-aligned contiguous range (padding bins are zero).
     Byte alignment lets the query path count hits with byte popcounts +
     one prefix sum instead of expanding 32 bit-planes per word, and u8
-    row fetches run ~1.7x faster than u32 through XLA's TPU gather.
+    row fetches run ~1.7x faster than u32 through XLA's TPU gather while
+    the table is VMEM-staged (the HBM regime inverts this — see
+    table_as_u32).
     Returns ``(tbl8, byte_starts, byte_ends)`` with int32 [T] byte ranges.
 
     The on-disk format keeps the compact interleaved u32 layout
