@@ -343,10 +343,13 @@ def run_classify(cfg: ClassifyConfig) -> dict:
     if getattr(cfg, "use_mesh", True):
         import jax
 
-        if len(jax.devices()) > 1:
+        # LOCAL devices only: under jax.distributed each host classifies
+        # its own file shard (multihost.shard_reads), so a global mesh
+        # would issue mismatched collectives across hosts
+        if len(jax.local_devices()) > 1:
             from ganon_tpu.parallel.mesh import make_mesh
 
-            mesh = make_mesh()
+            mesh = make_mesh(jax.local_devices())
             if not cfg.quiet:
                 print(
                     f" - device mesh {dict(mesh.shape)} over "

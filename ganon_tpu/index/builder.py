@@ -101,7 +101,8 @@ def _build_mesh(cfg: BuildConfig):
         return None
     import jax
 
-    devs = jax.devices()
+    # local devices: each host builds from its own inputs
+    devs = jax.local_devices()
     if len(devs) < 2:
         return None
     from jax.sharding import Mesh

@@ -489,7 +489,7 @@ class DeviceBuildPipeline:
         if self._devices is None:
             import jax
 
-            self._devices = jax.devices()
+            self._devices = jax.local_devices()
         if len(self._devices) == 1:
             return None  # uncommitted: keep default placement
         return self._devices[len(self.groups) % len(self._devices)]
@@ -856,9 +856,9 @@ class DeviceBuildPipeline:
                 )
             elif getattr(
                 next(iter(k_s.devices())), "id", 0
-            ) != getattr(jax.devices()[0], "id", 0):
+            ) != getattr(jax.local_devices()[0], "id", 0):
                 k_s, hi_s, lo_s, uniq = (
-                    jax.device_put(x, jax.devices()[0])
+                    jax.device_put(x, jax.local_devices()[0])
                     for x in (k_s, hi_s, lo_s, uniq)
                 )
             if mesh is not None:

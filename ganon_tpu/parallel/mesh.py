@@ -38,7 +38,7 @@ from ganon_tpu.ops.ibf_query import (
 def make_mesh(devices=None, batch_axis: int | None = None) -> Mesh:
     """Build a (batch, bins) mesh over the given/available devices."""
     if devices is None:
-        devices = jax.devices()
+        devices = jax.local_devices()
     n = len(devices)
     if batch_axis is None:
         # prefer splitting both axes when possible

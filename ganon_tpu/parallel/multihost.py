@@ -33,8 +33,21 @@ def maybe_initialize(force: bool = False) -> tuple[int, int]:
 
     want = force or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if want:
+        # explicit args beat auto-detection (which only works on cloud
+        # TPU pods): JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+        # JAX_PROCESS_ID are the standard launcher-provided variables
+        kwargs = {}
+        addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if addr and nproc is not None and pid is not None:
+            kwargs = dict(
+                coordinator_address=addr,
+                num_processes=int(nproc),
+                process_id=int(pid),
+            )
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kwargs)
         except RuntimeError:
             pass  # already initialized
     try:
