@@ -19,20 +19,9 @@ but a pod does.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from ganon_tpu.ops.minimizers import minimizers_masked_jax
-from ganon_tpu.ops.ibf_query import (
-    _popcount_u8,
-    _segment_matmul,
-    ibf_row_indices,
-    pack_table_u8,
-)
+from jax.sharding import Mesh
 
 
 def make_mesh(devices=None, batch_axis: int | None = None) -> Mesh:
@@ -54,35 +43,6 @@ def make_mesh(devices=None, batch_axis: int | None = None) -> Mesh:
         batch_axis, bins_axis
     )
     return Mesh(dev, ("batch", "bins"))
-
-
-@partial(
-    jax.jit,
-    static_argnames=("k", "w", "m1", "bin_size", "hash_functions"),
-)
-def _classify_step(
-    tbl8, byte_starts, byte_ends, codes, lengths, *,
-    k: int, w: int, m1: int, bin_size: int, hash_functions: int,
-):
-    """Single-call classify compute: codes -> per-target clamped counts.
-
-    With ``tbl8`` column-sharded over the ``bins`` mesh axis, the gather
-    + popcount + per-byte reduction stay shard-local; only the tiny
-    ``[B, W8]`` per-byte count matrix crosses the interconnect for the
-    prefix-sum segment reduction (GSPMD inserts the all_gather).
-    """
-    hashes, mask, n_hashes = minimizers_masked_jax(codes, lengths, k=k, w=w)
-    hashes, mask = hashes[:, :m1], mask[:, :m1]
-    rows = ibf_row_indices(hashes, bin_size=bin_size, hash_functions=hash_functions)
-    member = tbl8[rows[:, :, 0]]  # [B, M, W8] — W8 sharded over bins
-    for s in range(1, rows.shape[2]):
-        member = member & tbl8[rows[:, :, s]]
-    member = jnp.where(mask[:, :, None], member, jnp.uint8(0))
-    pc = _popcount_u8(member).astype(jnp.int32)
-    cw = jnp.sum(pc, axis=1)  # [B, W8] — shard-local reduction
-    tc = _segment_matmul(cw, byte_starts, byte_ends,
-                         max_val=8 * rows.shape[1])
-    return jnp.minimum(tc, n_hashes[:, None]), n_hashes
 
 
 class ShardedClassifier:
