@@ -17,15 +17,10 @@ import numpy as np
 from ganon_tpu.ops.minimizers import encode_seqs, minimizers_masked_jax
 from ganon_tpu.ops.ibf_query import (
     ibf_row_indices,
-    bulk_count_bins,
-    bulk_target_counts,
     bulk_target_counts_packed,
-    bulk_target_counts_u8,
     compact_hashes,
     pack_table_u8,
     table_as_u32,
-    target_counts,
-    target_segments,
 )
 
 
@@ -80,18 +75,6 @@ def extract_hashes(codes1, len1, codes2, len2, *, k: int, w: int, m1: int, m2: i
     mask = mask & read_ok
     n_hashes = jnp.where(len1 >= w, n_hashes, 0)
     return hashes, mask, n_hashes
-
-
-@partial(jax.jit, static_argnames=("bin_size", "hash_functions"))
-def filter_counts(
-    bits, starts, ends, hashes, mask, n_hashes, *,
-    bin_size: int, hash_functions: int, perm=None,
-):
-    """Per-target clamped counts for one filter: int32 [B, num_targets]."""
-    rows = ibf_row_indices(hashes, bin_size=bin_size, hash_functions=hash_functions)
-    tc = bulk_target_counts(bits, rows, mask, starts, ends, perm)
-    # a target split across several technical bins can exceed n_hashes
-    return jnp.minimum(tc, n_hashes[:, None])
 
 
 @partial(jax.jit, static_argnames=("bin_size", "hash_functions"))
