@@ -33,6 +33,28 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cac
 BASELINE_MBP_PER_MIN = 372.3  # reference docs/classification.md:44
 
 
+def _cache_current(ibf) -> bool:
+    """Does the cached db match what today's sizing policy would build?
+
+    Sizing is cheap (the expensive part is minimizer extraction), so
+    re-derive the expected IBFConfig from the cached per-target counts
+    and compare — a stale cache after a sizing-policy change would
+    otherwise silently bench the old configuration.
+    """
+    from ganon_tpu.index.config import IBFConfig
+    from ganon_tpu.index import sizing
+
+    cfg = IBFConfig(kmer_size=K, window_size=W)
+    sizing.optimal_hashes(0.05, 0.0, cfg, ibf.hashes_count)
+    sizing.auto_tune_hash_functions(0.05, 0.0, cfg, ibf.hashes_count)
+    got = ibf.ibf_config
+    return (
+        got.hash_functions == cfg.hash_functions
+        and got.bin_size_bits == cfg.bin_size_bits
+        and got.n_bins == cfg.n_bins
+    )
+
+
 def build_database(rng):
     from ganon_tpu.index.ibf import IBF, build_ibf
     from ganon_tpu.ops.minimizers import window_mins_jax
@@ -41,7 +63,10 @@ def build_database(rng):
     db_path = os.path.join(CACHE_DIR, "db.ibf")
     if os.path.exists(db_path):
         try:
-            return genomes, IBF.load(db_path)
+            ibf = IBF.load(db_path)
+            if _cache_current(ibf):
+                return genomes, ibf
+            print("cached db stale (sizing changed), rebuilding", file=sys.stderr)
         except Exception:
             pass
 
@@ -79,7 +104,8 @@ def main():
     import jax.numpy as jnp
 
     from ganon_tpu.classify.device import classify_counts_fused
-    from ganon_tpu.ops.ibf_query import pack_table_u8
+    from ganon_tpu.index.sizing import VMEM_STAGED_TABLE_BYTES
+    from ganon_tpu.ops.ibf_query import pack_table_u8, table_as_u32
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
@@ -93,6 +119,10 @@ def main():
     tbl8_np, bstarts_np, bends_np = pack_table_u8(
         ibf.bits, ibf.bin_to_target_ids(), len(ibf.targets())
     )
+    # production layout switch (classify.device.DeviceFilter): u32 word
+    # view for tables past the u8 VMEM staging budget
+    if tbl8_np.nbytes > VMEM_STAGED_TABLE_BYTES:
+        tbl8_np = table_as_u32(tbl8_np)
     tbl8 = jnp.asarray(tbl8_np)
     bstarts, bends = jnp.asarray(bstarts_np), jnp.asarray(bends_np)
     m = READ_LEN - W + 1

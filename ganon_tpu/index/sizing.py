@@ -255,26 +255,59 @@ def optimal_hashes(
 # --------------------------------------------------------------------------
 # TPU throughput-aware hash-function tuning
 #
-# Measured on TPU v5e (scripts/wide_table_bench.py, production
-# classify_batch_packed kernel): the bulk-count gather costs a fixed
-# per-PROBE price, not per-byte — ~2 ns/probe while the query table is
-# VMEM-staged, and, once the table exceeds the staging budget (where
-# DeviceFilter switches to the u32 word-view layout), an
-# HBM-transaction-bound ~(11 + 0.011 * row_bytes) ns/probe:
-#   row_bytes  256: 12.7 ns   1024: 17.6 ns   4096: 49 ns   8192: 98 ns
-# A read costs (n_hashes x hash_functions) probes, so in the HBM regime
-# FEWER hash functions win nearly linearly (measured: T=1024 targets,
-# h=4 -> 210k reads/s, h=2 -> 377k, h=1 -> 679k) while the fp-equivalent
-# table only grows (m/n for fp=0.05: h=4 -> 6.2 bits, h=2 -> 7.9,
-# h=1 -> 19.5). The reference's auto sizing picks h for minimum MEMORY
-# (ln2*m/n ratio, GanonBuild.cpp:308-333) — correct on CPU where
-# bulk_count streams bins linearly, wrong for a TPU gather.
+# Measured on TPU v5e (scripts/wide_table_bench.py + scripts/vmem_h_probe.py,
+# production kernels): the bulk-count gather costs a fixed per-PROBE price,
+# not per-byte, in three regimes:
+#   1. u8 table <= ~32 MB: VMEM-staged, ~2 ns/probe flat for rows <= 128 B
+#      (26.6 MB measured 2 ns; 33.7 MB u8 fell off the cliff to ~9 ns).
+#   2. u32 word-view table <= ~96 MB (the layout DeviceFilter switches to
+#      past the u8 budget): still effectively staged — an 83 MB u32 table
+#      measured ~2 ns/probe at 32 B rows (vmem_h_probe, fused counts
+#      program), NOT the 11 ns the old model assumed. Modeled as
+#      3 + 0.011*row_bytes to interpolate toward the unstaged price for
+#      wide rows we have not measured in this band.
+#   3. beyond: HBM-transaction-bound ~(11 + 0.011 * row_bytes) ns/probe:
+#      row_bytes 256: 13.8 ns   1024: 22 ns   4096: 56 ns
+# A read costs (n_hashes x hash_functions) probes, so fewer hash
+# functions win nearly linearly whenever the fp-equivalent re-size stays
+# within the same (or a cheap) regime: measured h=4 -> h=1 gains of
+# 1.43x on a 27 MB db (u8 VMEM -> 83 MB u32) and 3.2x at T=1024
+# (891 MB -> 2.8 GB, both unstaged). The fp-equivalent table only grows
+# (m/n for fp=0.05: h=4 -> 6.2 bits, h=2 -> 7.9, h=1 -> 19.5). The
+# reference's auto sizing picks h for minimum MEMORY (ln2*m/n ratio,
+# GanonBuild.cpp:308-333) — correct on CPU where bulk_count streams bins
+# linearly, wrong for a TPU gather.
 
-# conservative VMEM staging budget (v5e VMEM is 128 MB; cliffs observed
-# from ~35 MB in some programs — assume staged only when comfortably small)
-VMEM_STAGED_TABLE_BYTES = 32 << 20
+# conservative u8 VMEM staging budget (v5e VMEM is 128 MB; 26.6 MB u8
+# measured staged, 33.7 MB measured unstaged in the fused counts
+# program). The cliff sits somewhere in between; classify switches to
+# the u32 word view past this, and the penalty for switching too early
+# (~1.65x, u32 band vs staged u8) is far smaller than for staying u8
+# past the cliff (~4.5x), so err low.
+VMEM_STAGED_TABLE_BYTES = 28 << 20
+# u32 word-view tables stay probe-cheap well past the u8 cliff (83 MB
+# measured ~2 ns/probe; 223 MB measured fully HBM-bound)
+U32_STAGED_TABLE_BYTES = 96 << 20
 # do not let the tuner grow the filter beyond this (HBM working budget)
 MAX_TUNED_TABLE_BYTES = 6 << 30
+
+
+def packed_row_bytes(max_hashes_bin: int, hashes_count: dict[str, int]) -> int:
+    """Query-table row width in bytes under the byte-aligned packed layout.
+
+    ``pack_table_u8`` pads every target's technical-bin range to whole
+    bytes, so the row is ``sum_t ceil(bins_t / 8)`` bytes — up to 8x the
+    interleaved ``optimal_bins // 8`` width when targets own few bins
+    (e.g. 1024 single-bin targets pack to 1024 B rows, not 128 B). The
+    measured cost model below is fit against this packed width.
+    """
+    mhb = max(max_hashes_bin, 1)
+    total = 0
+    for c in hashes_count.values():
+        if c:
+            bins_t = -(-c // mhb)
+            total += -(-bins_t // 8)
+    return total
 
 
 def probe_cost_ns(table_bytes: int, row_bytes: int) -> float:
@@ -287,6 +320,10 @@ def probe_cost_ns(table_bytes: int, row_bytes: int) -> float:
         if row_bytes <= 512:
             return 2.8
         return 2.8 * row_bytes / 512
+    if table_bytes <= U32_STAGED_TABLE_BYTES:
+        # u32 word-view band: measured ~2 ns at 32 B rows; interpolate
+        # toward the unstaged price for wide rows (unmeasured here)
+        return 3.0 + 0.011 * row_bytes
     return 11.0 + 0.011 * row_bytes
 
 
@@ -303,11 +340,14 @@ def auto_tune_hash_functions(
 
     Applies only when the user left ``--hash-functions`` on auto and
     sizes by ``--max-fp`` (with a fixed ``--filter-size``, fewer hashes
-    would raise the fp instead). No-op while the auto-sized table fits
-    the VMEM staging budget — there the sizing optimum is also the
-    measured throughput optimum. Returns True when it re-sized
-    ``ibf_config`` (classify needs no change: ``hash_functions`` is part
-    of the serialized IBFConfig).
+    would raise the fp instead). The probe-cost model decides across all
+    gather regimes — per-probe cost is roughly flat within a regime, so
+    fewer hash functions win whenever the fp-equivalent re-size (a
+    larger but sparser table) lands in the same or a cheap regime;
+    measured 1.43x end-to-end even for a VMEM-resident db (h=4, 27 MB ->
+    h=1, 83 MB u32; scripts/vmem_h_probe.py). Returns True when it
+    re-sized ``ibf_config`` (classify needs no change:
+    ``hash_functions`` is part of the serialized IBFConfig).
 
     ``bins_shards``: number of chips the query table's bin axis will be
     column-sharded over at classify time (parallel/mesh.py); the cost
@@ -317,14 +357,13 @@ def auto_tune_hash_functions(
         return False
 
     def cost(cfg: IBFConfig) -> float:
-        rows = optimal_bins(cfg.n_bins) // 8 // max(bins_shards, 1)
-        table = cfg.bin_size_bits * max(rows, 1)
+        rows = max(
+            packed_row_bytes(cfg.max_hashes_bin, hashes_count)
+            // max(bins_shards, 1),
+            1,
+        )
+        table = cfg.bin_size_bits * rows
         return cfg.hash_functions * probe_cost_ns(table, rows)
-
-    auto_rows = optimal_bins(ibf_config.n_bins) // 8 // max(bins_shards, 1)
-    auto_table = ibf_config.bin_size_bits * max(auto_rows, 1)
-    if auto_table <= VMEM_STAGED_TABLE_BYTES:
-        return False
 
     best_cfg, best_cost = None, cost(ibf_config)
     for h in range(1, ibf_config.hash_functions):
@@ -337,7 +376,8 @@ def auto_tune_hash_functions(
         if cand.n_bins == 0:
             continue
         table = (
-            cand.bin_size_bits * optimal_bins(cand.n_bins) // 8
+            cand.bin_size_bits
+            * packed_row_bytes(cand.max_hashes_bin, hashes_count)
             // max(bins_shards, 1)
         )
         if table > MAX_TUNED_TABLE_BYTES:  # per-chip HBM budget

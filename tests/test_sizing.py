@@ -114,12 +114,18 @@ def _tune(counts, max_fp=0.05, filter_size=0.0, hash_functions=0, mode="avg"):
     return cfg, before, changed
 
 
-def test_tpu_tuning_noop_small_table():
+def test_tpu_tuning_lowers_h_for_small_tables_too():
+    # VMEM regime: per-probe cost is flat, so the fp-equivalent h=1
+    # re-size (3.1x the bits, 1/4 the probes) wins as long as the table
+    # stays in a cheap gather band (measured 1.43x, vmem_h_probe.py)
     counts = {f"T{i}": 5_000 for i in range(16)}
     cfg, before, changed = _tune(counts)
-    assert not changed
-    assert (cfg.hash_functions, cfg.bin_size_bits, cfg.n_bins,
-            cfg.max_hashes_bin) == before
+    assert changed
+    assert cfg.hash_functions == 1
+    tmax, _ = sizing.true_false_positive(
+        counts, cfg.max_hashes_bin, cfg.bin_size_bits, cfg.hash_functions
+    )
+    assert tmax <= 0.05 * 1.01
 
 
 def test_tpu_tuning_lowers_h_for_hbm_tables():
@@ -136,11 +142,11 @@ def test_tpu_tuning_lowers_h_for_hbm_tables():
     table = cfg.bin_size_bits * sizing.optimal_bins(cfg.n_bins) // 8
     assert table <= sizing.MAX_TUNED_TABLE_BYTES
     # and the model says it is faster
-    def cost(h, bs, nb):
-        t = bs * sizing.optimal_bins(nb) // 8
-        return h * sizing.probe_cost_ns(t, sizing.optimal_bins(nb) // 8)
-    assert cost(cfg.hash_functions, cfg.bin_size_bits, cfg.n_bins) < cost(
-        before[0], before[1], before[2]
+    def cost(h, bs, mhb):
+        rb = sizing.packed_row_bytes(mhb, counts)
+        return h * sizing.probe_cost_ns(bs * rb, rb)
+    assert cost(cfg.hash_functions, cfg.bin_size_bits, cfg.max_hashes_bin) < cost(
+        before[0], before[1], before[3]
     )
 
 
