@@ -41,17 +41,19 @@ def _cache_current(ibf) -> bool:
     and compare — a stale cache after a sizing-policy change would
     otherwise silently bench the old configuration.
     """
-    from ganon_tpu.index.config import IBFConfig
     from ganon_tpu.index import sizing
 
-    cfg = IBFConfig(kmer_size=K, window_size=W)
-    sizing.optimal_hashes(0.05, 0.0, cfg, ibf.hashes_count)
-    sizing.auto_tune_hash_functions(0.05, 0.0, cfg, ibf.hashes_count)
+    cfg = sizing.size_filter(
+        ibf.hashes_count, kmer_size=K, window_size=W, max_fp=0.05
+    )
     got = ibf.ibf_config
     return (
-        got.hash_functions == cfg.hash_functions
+        got.kmer_size == cfg.kmer_size
+        and got.window_size == cfg.window_size
+        and got.hash_functions == cfg.hash_functions
         and got.bin_size_bits == cfg.bin_size_bits
         and got.n_bins == cfg.n_bins
+        and got.max_hashes_bin == cfg.max_hashes_bin
     )
 
 

@@ -26,7 +26,7 @@ import numpy as np
 
 from ganon_tpu.classify import device as dev
 from ganon_tpu.classify.lca import LCA, build_lca
-from ganon_tpu.classify.thresholds import BinomTailCache
+from ganon_tpu.classify.thresholds import FprQueryMinCount
 from ganon_tpu.io.pipeline import (
     EncodedBatch,
     ThreadedBatchSource,
@@ -284,6 +284,9 @@ class LevelContext:
             u = np.zeros(len(self.union_targets), dtype=np.float64)
             u[cols] = fprs
             self.union_fprs.append(u)
+        # level-scoped fpr-query threshold cache (reads repeat lengths,
+        # targets repeat fprs across batches)
+        self.fpr_min = FprQueryMinCount(level.fpr_query)
 
         # taxonomy: merge (first wins), add missing targets under root
         self.tax: dict[str, tuple[str, str, str]] = {}
@@ -783,20 +786,21 @@ def _classify_batch(
             _rep(ctx.union_targets[j]).disc_filter += int(n)
         tot.discarded_matches_filter += int(disc_f.sum())
 
-    # fpr-query filter
+    # fpr-query filter: vectorized count-threshold comparison (the
+    # binomial tail is monotone in count; thresholds.FprQueryMinCount)
     final = pass_filter
     if ctx.level.fpr_query < 1.0:
-        cache = BinomTailCache()
-        final = pass_filter.copy()
         ii, jj = np.nonzero(pass_filter)
-        for i, j in zip(ii, jj):
-            q = cache.q(
-                int(union_counts[i, j]), int(nh[i]), float(union_fpr[i, j])
-            )
-            if q > ctx.level.fpr_query:
-                final[i, j] = False
-                _rep(ctx.union_targets[j]).disc_fpr += 1
-                tot.discarded_matches_fprquery += 1
+        if len(ii):
+            cmin = ctx.fpr_min.min_count_arr(nh[ii], union_fpr[ii, jj])
+            drop = union_counts[ii, jj] < cmin
+            final = pass_filter.copy()
+            final[ii[drop], jj[drop]] = False
+            disc_q = pass_filter & ~final
+            if disc_q.any():
+                for j, n in zip(*_colsum(disc_q)):
+                    _rep(ctx.union_targets[j]).disc_fpr += int(n)
+                tot.discarded_matches_fprquery += int(disc_q.sum())
 
     classified = final.any(axis=1)
     n_matches = final.sum(axis=1)
@@ -890,29 +894,35 @@ def _finish_batch_compact(
     tot.discarded_matches_filter += int(res["disc_t"].sum())
 
     if ctx.level.fpr_query < 1.0:
-        cache = BinomTailCache()
+        # vectorized: min passing count per (n_hashes, fpr) pair, then
+        # one array comparison + stable left-compaction of survivors.
         # single filter: fpr by (union == filter) target index; multi:
         # the device reports which filter won each match (reference
         # semantics: the winner's fpr, GanonClassify.cpp:533)
+        Kc = top_vals.shape[1]
+        valid = np.arange(Kc)[None, :] < n_matches[:, None]
         top_win = res.get("top_win")
-        fprs = ctx.union_fprs[0]
-        for i in np.nonzero(n_matches)[0]:
-            keep = []
-            for j in range(int(n_matches[i])):
-                t = int(top_idx[i, j])
-                if top_win is not None:
-                    fprs = ctx.union_fprs[int(top_win[i, j])]
-                q = cache.q(int(top_vals[i, j]), int(nh[i]), float(fprs[t]))
-                if q > ctx.level.fpr_query:
-                    _rep(ctx.union_targets[t]).disc_fpr += 1
-                    tot.discarded_matches_fprquery += 1
-                else:
-                    keep.append(j)
-            if len(keep) != n_matches[i]:
-                kn = len(keep)
-                top_idx[i, :kn] = top_idx[i, keep]
-                top_vals[i, :kn] = top_vals[i, keep]
-                n_matches[i] = kn
+        if top_win is not None:
+            fpr_mat = np.stack(ctx.union_fprs)[top_win[:B0], top_idx]
+        else:
+            fpr_mat = ctx.union_fprs[0][top_idx]
+        ii, jj = np.nonzero(valid)
+        if len(ii):
+            cmin = ctx.fpr_min.min_count_arr(nh[ii], fpr_mat[ii, jj])
+            keep = valid.copy()
+            keep[ii, jj] = top_vals[ii, jj] >= cmin
+            disc = valid & ~keep
+            if disc.any():
+                dt = np.bincount(
+                    top_idx[disc], minlength=len(ctx.union_targets)
+                )
+                for j in np.nonzero(dt)[0]:
+                    _rep(ctx.union_targets[j]).disc_fpr += int(dt[j])
+                tot.discarded_matches_fprquery += int(disc.sum())
+                order = np.argsort(~keep, axis=1, kind="stable")
+                top_idx = np.take_along_axis(top_idx, order, axis=1)
+                top_vals = np.take_along_axis(top_vals, order, axis=1)
+                n_matches = keep.sum(axis=1).astype(np.int64)
         classified = n_matches > 0
         tot.seqs_classified += int(classified.sum())
         tot.kmers_from_classified_seqs += int(nh[classified].sum())

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 
 def threshold_rel(n_hashes: int, p: float) -> int:
     return int(math.ceil(n_hashes * p))
@@ -35,6 +37,73 @@ def binom_tail_q(count: int, n_hashes: int, p: float) -> float:
             + (n_hashes - i) * l1p
         )
     return q
+
+
+def fpr_query_min_count(n_hashes: int, p: float, fpr_query: float) -> int:
+    """Smallest count c with ``binom_tail_q(c, n_hashes, p) <= fpr_query``.
+
+    ``binom_tail_q`` is monotone non-increasing in ``count`` — each extra
+    count subtracts one more non-negative pmf term from the same partial
+    sum — so the reference's per-match discard test ``q > fpr_query``
+    (GanonClassify.cpp:588-601) is equivalent to ``count < min_count``.
+    The loop below replicates binom_tail_q's sequential subtraction term
+    for term, so decisions are bitwise identical to evaluating the tail
+    per match. Returns ``n_hashes + 1`` when no count passes.
+    """
+    if p <= 0.0:
+        return 0
+    if p >= 1.0:
+        return 0 if fpr_query >= 1.0 else n_hashes
+    q = 1.0
+    lp = math.log(p)
+    l1p = math.log(1.0 - p)
+    lgn = math.lgamma(n_hashes + 1)
+    for i in range(n_hashes + 1):
+        q -= math.exp(
+            lgn
+            - math.lgamma(n_hashes - i + 1)
+            - math.lgamma(i + 1)
+            + i * lp
+            + (n_hashes - i) * l1p
+        )
+        if q <= fpr_query:
+            return i
+    return n_hashes + 1
+
+
+class FprQueryMinCount:
+    """Vectorized fpr-query thresholding, cached per hierarchy level.
+
+    One scalar ``min_count(n_hashes, target_fpr)`` per distinct pair
+    replaces one binomial-tail evaluation per match; the filter becomes
+    a plain ``counts >= min_count`` array comparison. The cache lives
+    for the whole level (reads repeat lengths, targets repeat fprs).
+    """
+
+    def __init__(self, fpr_query: float):
+        self.fpr_query = fpr_query
+        self._cache: dict[tuple[int, float], int] = {}
+
+    def min_count(self, n_hashes: int, p: float) -> int:
+        key = (n_hashes, p)
+        v = self._cache.get(key)
+        if v is None:
+            v = fpr_query_min_count(n_hashes, p, self.fpr_query)
+            self._cache[key] = v
+        return v
+
+    def min_count_arr(self, ns: np.ndarray, ps: np.ndarray) -> np.ndarray:
+        """Elementwise min_count over paired (n_hashes, fpr) arrays."""
+        key = np.stack(
+            [np.asarray(ns, np.float64), np.asarray(ps, np.float64)], axis=1
+        )
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        cm = np.fromiter(
+            (self.min_count(int(n), float(p)) for n, p in uniq),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        return cm[inv.reshape(-1)]
 
 
 class BinomTailCache:

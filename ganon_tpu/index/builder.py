@@ -563,7 +563,6 @@ def run_build(cfg: BuildConfig) -> IBF:
         return _finish_build(cfg, ibf, stats, phases, _mark)
 
     from ganon_tpu.index import sizing
-    from ganon_tpu.index.config import IBFConfig
     from ganon_tpu.index.device_build import DeviceBuildPipeline
 
     pipe = DeviceBuildPipeline(cfg.kmer_size, cfg.window_size)
@@ -580,29 +579,16 @@ def run_build(cfg: BuildConfig) -> IBF:
         hashes_count = {t: c for t, c in pipe.hashes_count().items() if c}
         if not hashes_count:
             raise ValueError("No valid sequences to build")
-        icfg = IBFConfig(
-            kmer_size=cfg.kmer_size, window_size=cfg.window_size
-        )
-        sizing.optimal_hashes(
-            cfg.max_fp if not cfg.filter_size else 0.0,
-            cfg.filter_size,
-            icfg,
+        icfg = sizing.size_filter(
             hashes_count,
+            kmer_size=cfg.kmer_size,
+            window_size=cfg.window_size,
+            max_fp=cfg.max_fp,
+            filter_size=cfg.filter_size,
             hash_functions=cfg.hash_functions,
             mode=cfg.mode,
+            tpu_sizing=cfg.tpu_sizing and _h_tunable(cfg),
         )
-        if cfg.tpu_sizing and _h_tunable(cfg):
-            sizing.auto_tune_hash_functions(
-                cfg.max_fp if not cfg.filter_size else 0.0,
-                cfg.filter_size, icfg, hashes_count,
-                hash_functions=0, mode=cfg.mode,
-            )
-        icfg.true_max_fp, icfg.true_avg_fp = sizing.true_false_positive(
-            hashes_count, icfg.max_hashes_bin, icfg.bin_size_bits,
-            icfg.hash_functions,
-        )
-        if icfg.n_bins == 0:
-            raise ValueError("no valid sequences to build")
         _mark("EstimateParams")
         splits = sizing.split_target_bins(icfg, hashes_count)
         bits = pipe.scatter(icfg, mesh=_build_mesh(cfg))

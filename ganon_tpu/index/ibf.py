@@ -290,28 +290,16 @@ def build_ibf(
     bins follows index ranges over that order.
     """
     hashes_count = {t: int(len(h)) for t, h in target_hashes.items()}
-    cfg = IBFConfig(kmer_size=kmer_size, window_size=window_size)
-    sizing.optimal_hashes(
-        max_fp if not filter_size else 0.0,
-        filter_size,
-        cfg,
+    cfg = sizing.size_filter(
         hashes_count,
+        kmer_size=kmer_size,
+        window_size=window_size,
+        max_fp=max_fp,
+        filter_size=filter_size,
         hash_functions=hash_functions,
         mode=mode,
+        tpu_sizing=tpu_sizing,
     )
-    # tpu_sizing=True asserts h is tunable (auto or a defaulted -s 4);
-    # None derives it: tune only when h was requested auto
-    tune = hash_functions == 0 if tpu_sizing is None else tpu_sizing
-    if tune:
-        sizing.auto_tune_hash_functions(
-            max_fp if not filter_size else 0.0, filter_size, cfg,
-            hashes_count, hash_functions=0, mode=mode,
-        )
-    cfg.true_max_fp, cfg.true_avg_fp = sizing.true_false_positive(
-        hashes_count, cfg.max_hashes_bin, cfg.bin_size_bits, cfg.hash_functions
-    )
-    if cfg.n_bins == 0:
-        raise ValueError("no valid sequences to build")
 
     splits = sizing.split_target_bins(cfg, hashes_count)
     technical = sizing.optimal_bins(cfg.n_bins)

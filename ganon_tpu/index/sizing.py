@@ -395,6 +395,52 @@ def auto_tune_hash_functions(
     return True
 
 
+def size_filter(
+    hashes_count: dict[str, int],
+    *,
+    kmer_size: int,
+    window_size: int,
+    max_fp: float = 0.05,
+    filter_size: float = 0.0,
+    hash_functions: int = 0,
+    mode: str = "avg",
+    tpu_sizing: bool | None = None,
+    bins_shards: int = 1,
+) -> IBFConfig:
+    """THE sizing entry point shared by every build path.
+
+    Runs the reference-parity ``optimal_hashes`` search, optionally the
+    TPU throughput re-size (``auto_tune_hash_functions``), and computes
+    the achieved ``true_max_fp``/``true_avg_fp`` — so the host-array
+    build (`ibf.build_ibf`), the device pipeline (`builder.run_build`),
+    benches and tests all agree on one ``IBFConfig`` for the same
+    inputs. Reference invariants: GanonBuild.cpp:428-616 (search),
+    :382-412 (true fp).
+
+    ``tpu_sizing=None`` derives the tune decision: only when the user
+    left ``--hash-functions`` on auto and sizes by ``--max-fp``.
+    """
+    cfg = IBFConfig(kmer_size=kmer_size, window_size=window_size)
+    eff_max_fp = max_fp if not filter_size else 0.0
+    optimal_hashes(
+        eff_max_fp, filter_size, cfg, hashes_count,
+        hash_functions=hash_functions, mode=mode,
+    )
+    tune = hash_functions == 0 if tpu_sizing is None else tpu_sizing
+    if tune:
+        auto_tune_hash_functions(
+            eff_max_fp, filter_size, cfg, hashes_count,
+            hash_functions=0, mode=mode, bins_shards=bins_shards,
+        )
+    if cfg.n_bins == 0:
+        raise ValueError("no valid sequences to build")
+    cfg.true_max_fp, cfg.true_avg_fp = true_false_positive(
+        hashes_count, cfg.max_hashes_bin, cfg.bin_size_bits,
+        cfg.hash_functions,
+    )
+    return cfg
+
+
 def split_target_bins(
     ibf_config: IBFConfig, hashes_count: dict[str, int]
 ) -> list[tuple[int, str, int, int]]:

@@ -50,11 +50,8 @@ def main(total_mbp: float, n_targets: int):
     hashes_count = {t: c for t, c in pipe.hashes_count().items() if c}
 
     t0 = time.monotonic()
-    icfg = IBFConfig(kmer_size=K, window_size=W)
-    sizing.optimal_hashes(0.05, 0.0, icfg, hashes_count)
-    icfg.true_max_fp, icfg.true_avg_fp = sizing.true_false_positive(
-        hashes_count, icfg.max_hashes_bin, icfg.bin_size_bits,
-        icfg.hash_functions,
+    icfg = sizing.size_filter(
+        hashes_count, kmer_size=K, window_size=W, max_fp=0.05
     )
     t_sizing = time.monotonic() - t0
 

@@ -4,7 +4,6 @@ import numpy as np
 import pytest
 
 from ganon_tpu.index import sizing
-from ganon_tpu.index.config import IBFConfig
 from ganon_tpu.index.device_build import DeviceBuildPipeline
 from ganon_tpu.index.ibf import build_ibf
 from ganon_tpu.ops.minimizers import encode_seqs
@@ -46,10 +45,12 @@ def _device_path(seq_files, **kw):
                     pipe.add_sequence((target, fi), enc[0])
         pipe.finish_counts()
         hashes_count = {t: c for t, c in pipe.hashes_count().items() if c}
-        icfg = IBFConfig(kmer_size=K, window_size=W)
-        sizing.optimal_hashes(
-            kw.get("max_fp", 0.05), kw.get("filter_size", 0.0), icfg,
-            hashes_count, hash_functions=kw.get("hash_functions", 0),
+        # the one shared sizing entry point (same as build_ibf / run_build)
+        icfg = sizing.size_filter(
+            hashes_count, kmer_size=K, window_size=W,
+            max_fp=kw.get("max_fp", 0.05),
+            filter_size=kw.get("filter_size", 0.0),
+            hash_functions=kw.get("hash_functions", 0),
             mode=kw.get("mode", "avg"),
         )
         bits = pipe.scatter(icfg)
@@ -215,8 +216,11 @@ def test_scatter_mesh_identical_to_single_device():
             hashes_count = {
                 t: c for t, c in pipe.hashes_count().items() if c
             }
-            icfg = IBFConfig(kmer_size=K, window_size=W)
-            sizing.optimal_hashes(0.05, 0.0, icfg, hashes_count)
+            icfg = sizing.size_filter(
+                hashes_count, kmer_size=K, window_size=W, max_fp=0.05
+            )
+            # force an odd row count so the shard split needs padding
+            icfg.bin_size_bits |= 1
             return pipe.scatter(icfg, mesh=mesh), icfg
         finally:
             pipe.close()

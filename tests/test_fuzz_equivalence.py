@@ -140,19 +140,30 @@ def test_fuzz_fast_slow_oracle(tmp_path, seed):
         assert counts.get(target) == cnt, (rid, target, seed)
         cutoff = max(math.ceil(n * rel_cutoff), 1)
         assert cnt >= cutoff
-    # every oracle match above cutoff+filter must appear unless fpr-query
-    # dropped it (only check the fpr_query == 1.0 configs for presence)
-    if fpr_query == 1.0:
-        have = {(r[0], r[1]) for r in allm}
-        for rid, (n, counts) in oracle.items():
-            if not counts or n == 0:
+    # the .all match set must EQUAL the oracle's: cutoff, then
+    # rel-filter, then the per-match binomial-tail fpr-query (the
+    # vectorized engine path must decide identically to binom_tail_q)
+    from ganon_tpu.classify.thresholds import binom_tail_q
+    from ganon_tpu.index.ibf import IBF
+
+    tfpr = IBF.load(db).target_fpr()
+    have = {(r[0], r[1]) for r in allm}
+    expect = set()
+    for rid, (n, counts) in oracle.items():
+        if not counts or n == 0:
+            continue
+        kept = {t: c for t, c in counts.items()
+                if c >= max(math.ceil(n * rel_cutoff), 1)}
+        if not kept:
+            continue
+        mx = max(kept.values())
+        mn = min(n, min(kept.values()))
+        thr = mx - math.ceil((mx - mn) * rel_filter)
+        for t, c in kept.items():
+            if c < thr:
                 continue
-            kept = {t: c for t, c in counts.items()
-                    if c >= max(math.ceil(n * rel_cutoff), 1)}
-            if not kept:
+            if fpr_query < 1.0 and binom_tail_q(c, n, tfpr[t]) > fpr_query:
                 continue
-            mx, mn = max(kept.values()), min(kept.values())
-            thr = mx - math.ceil((mx - mn) * rel_filter)
-            for t, c in kept.items():
-                if c >= thr:
-                    assert (rid, t) in have, (rid, t, seed)
+            expect.add((rid, t))
+    assert have == expect, (seed, k, w, paired, rel_cutoff, rel_filter,
+                            fpr_query)
