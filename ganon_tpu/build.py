@@ -684,6 +684,7 @@ def build_custom(cfg, which_call: str = "build_custom") -> bool:
                         or getattr(cfg, "hash_functions_defaulted", False)
                     )
                 ),
+                filter_format=getattr(cfg, "filter_format", "tpu"),
                 quiet=cfg.quiet,
             )
         else:

@@ -67,6 +67,10 @@ class ClassifyConfig:
     skip_lca: bool = False
     tax_root_node: str = "1"
     n_reads: int = 8192  # device batch size
+    # in-flight fast-path batches before fetching the oldest result;
+    # >1 hides the device round-trip (and, with async host copies,
+    # divides per-call latency on remote devices by the depth)
+    pipeline_depth: int = 4
     hashes_limit: int = 65535  # uint16 counter limit; raise for long reads
     device_thresholding: bool = True  # on-device cutoff/filter + top-K
     top_k_matches: int = 128  # compact output width (falls back if exceeded)
@@ -310,17 +314,77 @@ class LevelContext:
 
 
 class _Out:
-    """Lazy per-prefix output file handles."""
+    """Lazy per-prefix output file handles + a background writer thread.
+
+    The reference drains its .one/.all/.unc writers on dedicated threads
+    fed by SafeQueues (GanonClassify.cpp:1444-1455,1539-1569); here one
+    writer thread drains submitted jobs in order, so line formatting and
+    file I/O overlap the main thread's device waits (which release the
+    GIL). Direct ``get().write()`` stays for the end-of-run writers
+    (.rep/.sta); call :meth:`drain` before mixing direct writes into a
+    file that also received submitted jobs.
+    """
+
+    _DONE = object()
 
     def __init__(self):
+        import queue
+        import threading
+
         self._files = {}
+        self._lock = threading.Lock()
+        self._q: queue.Queue = queue.Queue(maxsize=64)
+        self._err = None
+
+        def work():
+            while True:
+                job = self._q.get()
+                try:
+                    if job is self._DONE:
+                        return
+                    path, payload = job
+                    if callable(payload):
+                        payload = payload()
+                    if payload:
+                        self._file(path).write(payload)
+                except BaseException as e:  # surfaced on drain/close
+                    if self._err is None:
+                        self._err = e
+                finally:
+                    self._q.task_done()
+
+        self._t = threading.Thread(target=work, daemon=True)
+        self._t.start()
+
+    def _file(self, path: str, mode: str = "w"):
+        with self._lock:
+            if path not in self._files:
+                self._files[path] = open(path, mode)
+            return self._files[path]
 
     def get(self, path: str, mode: str = "w"):
-        if path not in self._files:
-            self._files[path] = open(path, mode)
+        """Direct handle (create with ``mode`` on first touch)."""
+        self._file(path, mode)
+
         return self._files[path]
 
+    def submit(self, path: str, payload):
+        """Queue a write: a string, or a zero-arg callable returning one
+        (formatting then runs on the writer thread)."""
+        self._q.put((path, payload))
+        if self._err is not None:
+            self.drain()
+
+    def drain(self):
+        self._q.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
     def close_all(self):
+        self.drain()
+        self._q.put(self._DONE)
+        self._t.join()
         for f in self._files.values():
             f.close()
         self._files.clear()
@@ -415,20 +479,25 @@ def run_classify(cfg: ClassifyConfig) -> dict:
             else:
                 yield from leftovers
 
-        # two-deep pipeline: dispatch batch i+1 before fetching batch i's
-        # results, hiding the device round-trip behind compute (the
-        # SafeQueue producer/consumer rebuilt around dispatch latency)
+        # N-deep pipeline: keep several batches in flight before fetching
+        # the oldest result (the SafeQueue producer/consumer rebuilt
+        # around dispatch latency). Each dispatch also starts the
+        # device->host copy asynchronously, so result transfers overlap
+        # both device compute and each other — at high per-call latency
+        # (remote/tunneled device) depth d divides the latency term by d.
+        from collections import deque
+
         finish_args = (
             ctx, cfg, rep, hierarchy_totals[label], first, last, out,
             one_files, all_files,
         )
-        pending = None
+        depth = max(1, cfg.pipeline_depth)
+        pending: deque = deque()
         for batch in batches():
             disp = _dispatch_batch_fast(batch, ctx, cfg)
             if disp is None:
-                if pending is not None:
-                    lo = _finish_batch_fast(pending, *finish_args)
-                    pending = None
+                while pending:
+                    lo = _finish_batch_fast(pending.popleft(), *finish_args)
                     if lo is not None and len(lo):
                         next_leftovers.append(lo)
                 lo = _classify_batch(
@@ -437,13 +506,13 @@ def run_classify(cfg: ClassifyConfig) -> dict:
                 )
             else:
                 lo = None
-                if pending is not None:
-                    lo = _finish_batch_fast(pending, *finish_args)
-                pending = (batch, disp)
+                if len(pending) >= depth:
+                    lo = _finish_batch_fast(pending.popleft(), *finish_args)
+                pending.append((batch, disp))
             if lo is not None and len(lo):
                 next_leftovers.append(lo)
-        if pending is not None:
-            lo = _finish_batch_fast(pending, *finish_args)
+        while pending:
+            lo = _finish_batch_fast(pending.popleft(), *finish_args)
             if lo is not None and len(lo):
                 next_leftovers.append(lo)
 
@@ -561,7 +630,17 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
             hash_functions=f.ibf_config.hash_functions,
             top_k=K, pack16=pack16,
         )
+    _start_host_copy(packed)
     return packed, batch_pad, K, f.num_targets, pack16, False
+
+
+def _start_host_copy(packed) -> None:
+    """Enqueue the device->host copy now (non-blocking): it runs as soon
+    as the result is computed, so pipelined batches' transfers overlap."""
+    try:
+        packed.copy_to_host_async()
+    except AttributeError:
+        pass
 
 
 def _dispatch_batch_fast_multi(batch: EncodedBatch, ctx: LevelContext,
@@ -604,6 +683,7 @@ def _dispatch_batch_fast_multi(batch: EncodedBatch, ctx: LevelContext,
         ),
         num_union=U, top_k=K,
     )
+    _start_host_copy(packed)
     return packed, batch_pad, K, U, True, True
 
 
@@ -814,45 +894,79 @@ def _classify_batch(
     for j, n in zip(*_colsum(final)):
         _rep(ctx.union_targets[j]).matches += int(n)
 
-    write_all = out.get(all_files[prefix]) if cfg.output_all else None
-    write_one = (
-        out.get(one_files[prefix]) if (cfg.output_lca and not cfg.skip_lca) else None
-    )
+    # vectorized finish (mirrors _finish_batch_compact): bincount
+    # accounting + deferred line formatting on the writer thread
+    tn = ctx.union_targets
+    ids = batch.ids
+    uniq_rows = np.nonzero(classified & (n_matches == 1))[0]
+    multi_rows = np.nonzero(classified & (n_matches > 1))[0]
 
-    leftover_idx: list[int] = []
-    for i in range(B0):
-        if classified[i]:
-            idxs = np.nonzero(final[i])[0]
-            if write_all is not None:
-                rid = batch.ids[i]
-                for j in idxs:
-                    write_all.write(
-                        f"{rid}\t{ctx.union_targets[j]}\t{union_counts[i, j]}\n"
-                    )
-            if n_matches[i] == 1:
-                t = ctx.union_targets[idxs[0]]
-                _rep(t).seqs_unique += 1
-                if write_one is not None:
-                    write_one.write(f"{batch.ids[i]}\t{t}\t{union_counts[i, idxs[0]]}\n")
-            else:
-                if not cfg.skip_lca:
-                    names = [ctx.union_targets[j] for j in idxs]
-                    t = ctx.lca.lca(names)
-                    _rep(t).seqs_lca += 1
-                    if write_one is not None:
-                        write_one.write(f"{batch.ids[i]}\t{t}\t{max_count[i]}\n")
-                else:
-                    _rep(cfg.tax_root_node).seqs_lca += 1
+    if len(uniq_rows):
+        u_t = np.argmax(final[uniq_rows], axis=1)
+        uj, un = np.unique(u_t, return_counts=True)
+        for j, n in zip(uj, un):
+            _rep(tn[int(j)]).seqs_unique += int(n)
+    lca_of: list[str] = []
+    if len(multi_rows):
+        if not cfg.skip_lca:
+            for i in multi_rows:
+                names = [tn[j] for j in np.nonzero(final[i])[0]]
+                t = ctx.lca.lca(names)
+                _rep(t).seqs_lca += 1
+                lca_of.append(t)
         else:
-            if not last:
-                leftover_idx.append(i)
-            elif cfg.output_unclassified:
-                out.get(cfg.output_prefix + prefix + ".unc").write(
-                    batch.ids[i] + "\n"
+            _rep(cfg.tax_root_node).seqs_lca += len(multi_rows)
+
+    if cfg.output_all:
+        ai, aj = np.nonzero(final)
+        a_v = union_counts[ai, aj]
+
+        def _fmt_all(ai=ai, aj=aj, a_v=a_v, ids=ids, tn=tn):
+            return "".join(
+                f"{ids[i]}\t{tn[j]}\t{v}\n"
+                for i, j, v in zip(ai.tolist(), aj.tolist(), a_v.tolist())
+            )
+
+        out.submit(all_files[prefix], _fmt_all)
+    if cfg.output_lca and not cfg.skip_lca:
+        u_v = (
+            union_counts[uniq_rows, np.argmax(final[uniq_rows], axis=1)]
+            if len(uniq_rows) else np.empty(0, np.int64)
+        )
+        u_j = (
+            np.argmax(final[uniq_rows], axis=1)
+            if len(uniq_rows) else np.empty(0, np.int64)
+        )
+        m_c = max_count[multi_rows]
+
+        def _fmt_one(uniq_rows=uniq_rows, u_j=u_j, u_v=u_v,
+                     multi_rows=multi_rows, lca_of=lca_of, m_c=m_c,
+                     ids=ids, tn=tn):
+            parts = [
+                f"{ids[i]}\t{tn[j]}\t{v}\n"
+                for i, j, v in zip(
+                    uniq_rows.tolist(), u_j.tolist(), u_v.tolist()
                 )
+            ]
+            parts += [
+                f"{ids[i]}\t{t}\t{c}\n"
+                for i, t, c in zip(multi_rows.tolist(), lca_of, m_c.tolist())
+            ]
+            return "".join(parts)
+
+        out.submit(one_files[prefix], _fmt_one)
+
+    left = np.nonzero(~classified)[0]
     if last:
+        if cfg.output_unclassified and len(left):
+            out.submit(
+                cfg.output_prefix + prefix + ".unc",
+                lambda left=left, ids=ids: "".join(
+                    ids[i] + "\n" for i in left.tolist()
+                ),
+            )
         return None
-    return batch.select(np.asarray(leftover_idx, dtype=np.int64))
+    return batch.select(left.astype(np.int64))
 
 
 def _finish_batch_compact(
@@ -942,52 +1056,76 @@ def _finish_batch_compact(
         for j in np.nonzero(res["matches_t"])[0]:
             _rep(ctx.union_targets[j]).matches += int(res["matches_t"][j])
 
-    write_all = out.get(all_files[prefix]) if cfg.output_all else None
-    write_one = (
-        out.get(one_files[prefix]) if (cfg.output_lca and not cfg.skip_lca) else None
-    )
+    # vectorized finish: bincount accounting + deferred line formatting
+    # on the writer thread (overlaps the next batch's device wait)
+    tn = ctx.union_targets
+    ids = batch.ids
+    uniq_rows = np.nonzero(n_matches == 1)[0]
+    multi_rows = np.nonzero(n_matches > 1)[0]
 
-    leftover_idx: list[int] = []
-    for i in range(B0):
-        nm = int(n_matches[i])
-        if nm > 0:
-            if write_all is not None:
-                rid = batch.ids[i]
-                for j in range(nm):
-                    write_all.write(
-                        f"{rid}\t{ctx.union_targets[int(top_idx[i, j])]}\t"
-                        f"{int(top_vals[i, j])}\n"
-                    )
-            if nm == 1:
-                t = ctx.union_targets[int(top_idx[i, 0])]
-                _rep(t).seqs_unique += 1
-                if write_one is not None:
-                    write_one.write(
-                        f"{batch.ids[i]}\t{t}\t{int(top_vals[i, 0])}\n"
-                    )
-            else:
-                if not cfg.skip_lca:
-                    names = [
-                        ctx.union_targets[int(top_idx[i, j])] for j in range(nm)
-                    ]
-                    t = ctx.lca.lca(names)
-                    _rep(t).seqs_lca += 1
-                    if write_one is not None:
-                        write_one.write(
-                            f"{batch.ids[i]}\t{t}\t{int(max_count[i])}\n"
-                        )
-                else:
-                    _rep(cfg.tax_root_node).seqs_lca += 1
+    if len(uniq_rows):
+        uj, un = np.unique(top_idx[uniq_rows, 0], return_counts=True)
+        for j, n in zip(uj, un):
+            _rep(tn[int(j)]).seqs_unique += int(n)
+    lca_of: list[str] = []
+    if len(multi_rows):
+        if not cfg.skip_lca:
+            for i in multi_rows:
+                names = [
+                    tn[int(top_idx[i, j])] for j in range(int(n_matches[i]))
+                ]
+                t = ctx.lca.lca(names)
+                _rep(t).seqs_lca += 1
+                lca_of.append(t)
         else:
-            if not last:
-                leftover_idx.append(i)
-            elif cfg.output_unclassified:
-                out.get(cfg.output_prefix + prefix + ".unc").write(
-                    batch.ids[i] + "\n"
+            _rep(cfg.tax_root_node).seqs_lca += len(multi_rows)
+
+    if cfg.output_all:
+        vmask = np.arange(top_vals.shape[1])[None, :] < n_matches[:, None]
+        ai, aj = np.nonzero(vmask)
+        a_t = top_idx[ai, aj]
+        a_v = top_vals[ai, aj]
+
+        def _fmt_all(ai=ai, a_t=a_t, a_v=a_v, ids=ids, tn=tn):
+            return "".join(
+                f"{ids[i]}\t{tn[t]}\t{v}\n"
+                for i, t, v in zip(ai.tolist(), a_t.tolist(), a_v.tolist())
+            )
+
+        out.submit(all_files[prefix], _fmt_all)
+    if cfg.output_lca and not cfg.skip_lca:
+        u_t = top_idx[uniq_rows, 0] if len(uniq_rows) else uniq_rows
+        u_v = top_vals[uniq_rows, 0] if len(uniq_rows) else uniq_rows
+        m_c = max_count[multi_rows]
+
+        def _fmt_one(uniq_rows=uniq_rows, u_t=u_t, u_v=u_v,
+                     multi_rows=multi_rows, lca_of=lca_of, m_c=m_c,
+                     ids=ids, tn=tn):
+            parts = [
+                f"{ids[i]}\t{tn[t]}\t{v}\n"
+                for i, t, v in zip(
+                    uniq_rows.tolist(), u_t.tolist(), u_v.tolist()
                 )
+            ]
+            parts += [
+                f"{ids[i]}\t{t}\t{c}\n"
+                for i, t, c in zip(multi_rows.tolist(), lca_of, m_c.tolist())
+            ]
+            return "".join(parts)
+
+        out.submit(one_files[prefix], _fmt_one)
+
+    left = np.nonzero(n_matches == 0)[0]
     if last:
+        if cfg.output_unclassified and len(left):
+            out.submit(
+                cfg.output_prefix + prefix + ".unc",
+                lambda left=left, ids=ids: "".join(
+                    ids[i] + "\n" for i in left.tolist()
+                ),
+            )
         return None
-    return batch.select(np.asarray(leftover_idx, dtype=np.int64))
+    return batch.select(left.astype(np.int64))
 
 
 def _colsum(mask: np.ndarray):

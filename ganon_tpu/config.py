@@ -106,9 +106,21 @@ class Config:
             g = p.add_argument_group("important arguments")
             g.add_argument("-d", "--db-prefix", type=str, required=True,
                            help="Database output prefix")
+            # Deliberate default divergence from the reference (which
+            # defaults hibf, config.py:179): the HIBF's hierarchical
+            # descent exists to skip sub-filters and save CPU memory
+            # bandwidth; on TPU the whole table is HBM-resident and the
+            # flat IBF queries in ONE fused branch-free dispatch, while
+            # the forest needs one gather round per sub-filter. With
+            # TPU-tuned sizing the memory gap also narrows. Use hibf for
+            # reference-binary interop or very skewed target sizes.
             g.add_argument("-x", "--filter-type", type=str, default="ibf",
                            choices=cls.choices_filter_type,
-                           help="Filter type (hibf or ibf)")
+                           help="Filter type. Default ibf: on TPU the flat "
+                                "interleaved filter classifies in one fused "
+                                "dispatch and is the fastest path (the "
+                                "reference defaults hibf, whose hierarchical "
+                                "descent only pays on CPUs)")
             adv = p.add_argument_group("advanced arguments")
             adv.add_argument("--filter-format", type=str, default="tpu",
                              choices=["tpu", "reference"],

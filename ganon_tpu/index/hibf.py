@@ -194,11 +194,73 @@ def build_hibf(
     return HIBF(subs, kmer_size, window_size, max_fp)
 
 
+def export_raptor_hibf(
+    hibf: HIBF, target_hashes: dict[str, np.ndarray], output_file: str
+) -> None:
+    """Export the forest as a raptor-format ``.hibf`` the reference
+    binaries can load (GanonClassify.cpp:875-938).
+
+    Emits a 2-level hierarchy: IBF 0 holds one merged bin per forest
+    class (the union of the class's hashes — a superset Bloom, so a
+    parent count >= any descendant count and the reference's threshold
+    descent never misses a user bin), each class IBF becomes a child
+    with its user bins. Target names are mangled the way raptor derives
+    them from file names ('.'->'|||', ' '->'---', + '.minimiser'),
+    which the reference classifier undoes at load
+    (GanonClassify.cpp:920-928) — as does our reader.
+    """
+    from ganon_tpu.index.serialize import write_raptor_hibf
+
+    def mangle(t: str) -> str:
+        return t.replace(".", "|||").replace(" ", "---") + ".minimiser"
+
+    cfg = hibf.ibf_config
+    merged = {
+        f"merged{gi}": np.unique(
+            np.concatenate([target_hashes[t] for t in sub.targets()])
+        )
+        for gi, sub in enumerate(hibf.subs)
+    }
+    root = build_ibf(
+        merged, kmer_size=cfg.kmer_size, window_size=cfg.window_size,
+        max_fp=cfg.max_fp,
+    )
+    filenames: list[str] = []
+    fidx: dict[str, int] = {}
+    for sub in hibf.subs:
+        for t in sub.targets():
+            fidx[t] = len(filenames)
+            filenames.append(mangle(t))
+    ibfs = [(root.bits, root.ibf_config.n_bins,
+             root.ibf_config.hash_functions)]
+    next_ibf_id = [np.zeros(root.bits.shape[1] * 32, dtype=np.int64)]
+    bin_to_filename = [np.full(root.bits.shape[1] * 32, -1, dtype=np.int64)]
+    root_bins: dict[str, list[int]] = {}
+    for b, t in root.bin_map:
+        root_bins.setdefault(t, []).append(b)
+    for gi, sub in enumerate(hibf.subs):
+        tb = sub.bits.shape[1] * 32
+        ibfs.append((sub.bits, sub.ibf_config.n_bins,
+                     sub.ibf_config.hash_functions))
+        b2f = np.full(tb, -1, dtype=np.int64)
+        for b, t in sub.bin_map:
+            b2f[b] = fidx[t]
+        next_ibf_id.append(np.full(tb, gi + 1, dtype=np.int64))
+        bin_to_filename.append(b2f)
+        for b in root_bins[f"merged{gi}"]:
+            next_ibf_id[0][b] = gi + 1
+    write_raptor_hibf(
+        output_file, window_size=cfg.window_size, kmer_size=cfg.kmer_size,
+        fpr=cfg.max_fp, filenames=filenames, ibfs=ibfs,
+        next_ibf_id=next_ibf_id, bin_to_filename=bin_to_filename,
+    )
+
+
 def run_build_hibf(
     *, target_info_file: str, output_file: str, kmer_size: int,
     window_size: int, hash_functions: int = 0, max_fp: float = 0.001,
     min_length: int = 0, threads: int = 1, tpu_sizing: bool | None = None,
-    quiet: bool = True,
+    filter_format: str = "tpu", quiet: bool = True,
 ) -> HIBF:
     """Count hashes from a target_info file and build/save an HIBF."""
     from ganon_tpu.index.builder import (
@@ -223,5 +285,8 @@ def run_build_hibf(
         max_fp=max_fp, hash_functions=hash_functions,
         tpu_sizing=tpu_sizing,
     )
-    hibf.save(output_file)
+    if filter_format == "reference":
+        export_raptor_hibf(hibf, target_hashes, output_file)
+    else:
+        hibf.save(output_file)
     return hibf

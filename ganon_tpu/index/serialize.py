@@ -364,6 +364,7 @@ def _read_raptor_hibf_buf(buf: bytes, path: str, width_byte: bool):
         "shape_size": int(size),
         "fpr": float(fpr),
         "targets": targets,
+        "raw_filenames": filenames,  # mangled on-disk names (re-serialize)
         "ibfs": ibfs,
         "next_ibf_id": next_ibf_id,
         "bin_to_filename": bin_to_filename,

@@ -290,6 +290,12 @@ VMEM_STAGED_TABLE_BYTES = 28 << 20
 U32_STAGED_TABLE_BYTES = 96 << 20
 # do not let the tuner grow the filter beyond this (HBM working budget)
 MAX_TUNED_TABLE_BYTES = 6 << 30
+# ... nor beyond this factor of the memory-optimal size. The re-size cost
+# explodes as h drops at strict fp (m/n for h=1: fp=0.05 -> 19.5 bits,
+# fp=0.001 -> ~997 bits — 58x the h=5 optimum); the measured throughput
+# wins (1.4-3.2x) all came from <=3.2x growth, and HBM is the scarce
+# resource for RefSeq-scale databases.
+MAX_TUNED_GROWTH = 4.0
 
 
 def packed_row_bytes(max_hashes_bin: int, hashes_count: dict[str, int]) -> int:
@@ -365,6 +371,11 @@ def auto_tune_hash_functions(
         table = cfg.bin_size_bits * rows
         return cfg.hash_functions * probe_cost_ns(table, rows)
 
+    base_table = (
+        ibf_config.bin_size_bits
+        * packed_row_bytes(ibf_config.max_hashes_bin, hashes_count)
+        // max(bins_shards, 1)
+    )
     best_cfg, best_cost = None, cost(ibf_config)
     for h in range(1, ibf_config.hash_functions):
         cand = IBFConfig(
@@ -382,6 +393,8 @@ def auto_tune_hash_functions(
         )
         if table > MAX_TUNED_TABLE_BYTES:  # per-chip HBM budget
             continue
+        if table > MAX_TUNED_GROWTH * max(base_table, 1):
+            continue  # probe savings never justify unbounded memory
         c = cost(cand)
         if c < best_cost:
             best_cfg, best_cost = cand, c

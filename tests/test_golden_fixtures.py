@@ -1,0 +1,150 @@
+"""Frozen byte-level codec fixtures: any drift breaks loudly.
+
+tests/fixtures/golden_*.ibf / golden.hibf were generated once
+(scripts/make_golden_fixtures.py) and committed; golden.json records
+their sha256, the parsed metadata, and per-read classify counts from the
+production engine at generation time. These tests pin:
+
+* the cereal `.ibf` layout (reference GanonBuild.cpp:251-288 /
+  GanonClassify.cpp:949-986) — hand-parsed at fixed hex offsets,
+* the raptor `.hibf` layout (GanonClassify.cpp:875-938),
+* writer == reader inverse, byte for byte,
+* the hash family / seed constants and minimizer semantics — frozen
+  per-read counts must reproduce through the full engine.
+
+A failure here means cross-loaded reference databases would silently
+produce different counts. Regenerate fixtures only on a deliberate
+format change.
+"""
+
+import hashlib
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def meta():
+    with open(os.path.join(FIXDIR, "golden.json")) as f:
+        return json.load(f)
+
+
+def _raw(name):
+    with open(os.path.join(FIXDIR, name), "rb") as f:
+        return f.read()
+
+
+def _sha(b):
+    return hashlib.sha256(b).hexdigest()
+
+
+@pytest.mark.parametrize("name", ["golden_h1.ibf", "golden_h4.ibf"])
+def test_ibf_hex_layout(name, meta):
+    """Hand-verified layout at fixed offsets, independent of the codec."""
+    raw = _raw(name)
+    assert _sha(raw) == meta[name]["file_sha256"]
+    cfg = meta[name]["config"]
+    # [0:12) version tuple<int,int,int> — written as 2.1.1
+    assert struct.unpack("<iii", raw[0:12]) == (2, 1, 1)
+    # [12:64) IBFConfig: u64 n_bins, u64 max_hashes_bin, u8 hash_functions,
+    # u8 kmer_size, u16 window_size, u64 bin_size_bits, 3 x f64 fp
+    # (52 bytes, cereal packs fields back-to-back with no padding)
+    fields = struct.unpack("<QQBBHQddd", raw[12:64])
+    assert fields[0] == cfg["n_bins"]
+    assert fields[1] == cfg["max_hashes_bin"]
+    assert fields[2] == cfg["hash_functions"]
+    assert fields[3] == cfg["kmer_size"]
+    assert fields[4] == cfg["window_size"]
+    assert fields[5] == cfg["bin_size_bits"]
+    assert fields[6] == pytest.approx(cfg["max_fp"])
+    # [64:72) u64 hashes_count vector length
+    (n,) = struct.unpack("<Q", raw[64:72])
+    assert n == len(meta[name]["hashes_count"])
+    # first element: u64 strlen + bytes + u64 count
+    (sl,) = struct.unpack("<Q", raw[72:80])
+    t0 = raw[80 : 80 + sl].decode()
+    (c0,) = struct.unpack("<Q", raw[80 + sl : 88 + sl])
+    assert meta[name]["hashes_count"][t0] == c0
+
+
+@pytest.mark.parametrize("name", ["golden_h1.ibf", "golden_h4.ibf"])
+def test_ibf_read_matches_frozen(name, meta):
+    from ganon_tpu.index.serialize import read_ibf
+
+    ibf = read_ibf(os.path.join(FIXDIR, name))
+    cfg, want = ibf.ibf_config, meta[name]["config"]
+    for k, v in want.items():
+        got = getattr(cfg, k)
+        assert got == pytest.approx(v), (k, got, v)
+    assert ibf.hashes_count == meta[name]["hashes_count"]
+    assert ibf.bin_map == [tuple(x) for x in meta[name]["bin_map"]]
+    assert (
+        _sha(np.ascontiguousarray(ibf.bits).tobytes())
+        == meta[name]["bits_sha256"]
+    )
+
+
+@pytest.mark.parametrize("name", ["golden_h1.ibf", "golden_h4.ibf"])
+def test_ibf_writer_reproduces_bytes(name, meta, tmp_path):
+    from ganon_tpu.index.serialize import read_ibf, write_ibf
+
+    ibf = read_ibf(os.path.join(FIXDIR, name))
+    out = tmp_path / name
+    write_ibf(ibf, str(out))
+    assert out.read_bytes() == _raw(name)
+
+
+def test_hibf_writer_reproduces_bytes(meta, tmp_path):
+    from ganon_tpu.index.serialize import read_raptor_hibf, write_raptor_hibf
+
+    raw = _raw("golden.hibf")
+    assert _sha(raw) == meta["golden.hibf"]["file_sha256"]
+    h = read_raptor_hibf(os.path.join(FIXDIR, "golden.hibf"))
+    assert h["kmer_size"] == meta["kmer_size"]
+    assert h["window_size"] == meta["window_size"]
+    out = tmp_path / "re.hibf"
+    # read returns per-IBF (bits, bins, bin_size, hash_funs); the writer
+    # takes (bits, bins, hash_funs). filenames: the reader unmangles, so
+    # recover the on-disk names from the raw archive's user_bin_filenames
+    # via a second parse of bin_path (one file per bin in our writer).
+    write_raptor_hibf(
+        str(out), window_size=h["window_size"], kmer_size=h["kmer_size"],
+        fpr=h["fpr"], filenames=h["raw_filenames"],
+        ibfs=[(bits, bins, funs) for bits, bins, _, funs in h["ibfs"]],
+        next_ibf_id=h["next_ibf_id"],
+        bin_to_filename=h["bin_to_filename"],
+    )
+    assert out.read_bytes() == raw
+
+
+@pytest.mark.parametrize(
+    "name", ["golden_h1.ibf", "golden_h4.ibf", "golden.hibf"]
+)
+def test_engine_counts_match_frozen(name, meta, tmp_path):
+    """Full production path on the frozen filter reproduces frozen counts
+    — pins the hash family, seeds, and minimizer emission."""
+    from ganon_tpu.classify.engine import ClassifyConfig, run_classify
+
+    m = meta[name]
+    fq = tmp_path / "reads.fq"
+    with open(fq, "w") as f:
+        for rid, s in m["reads"].items():
+            f.write(f"@{rid}\n{s}\n+\n{'I' * len(s)}\n")
+    out = str(tmp_path / "res")
+    run_classify(ClassifyConfig(
+        ibf=[os.path.join(FIXDIR, name)], single_reads=[str(fq)],
+        output_prefix=out,
+        rel_cutoff=[0.001], rel_filter=[1.0], fpr_query=[1.0],
+        output_all=True, quiet=True,
+    ))
+    counts = {}
+    with open(out + ".all") as f:
+        for line in f:
+            rid, t, c = line.rstrip("\n").split("\t")
+            counts.setdefault(rid, {})[t] = int(c)
+    assert counts == m["counts"]

@@ -165,3 +165,54 @@ def test_engine_fast_path_matches_full_on_raptor(hierarchy, tmp_path):
             for ext in (".rep", ".all", ".unc")
         }
     assert outs["fast"] == outs["full"]
+
+
+def test_forest_export_classify_parity(tmp_path):
+    """build -> export_raptor_hibf -> classify equals classifying the
+    npz forest directly (VERDICT: build pipeline raptor export wiring;
+    reference consumer GanonClassify.cpp:875-938)."""
+    import random
+
+    from ganon_tpu.classify.engine import ClassifyConfig, run_classify
+    from ganon_tpu.index.builder import sequence_hashes
+    from ganon_tpu.index.hibf import build_hibf, export_raptor_hibf
+
+    rng = random.Random(21)
+    # skewed sizes so the forest splits into >1 class; names exercise
+    # the raptor mangling round trip
+    refs = {
+        "GCF_1.2": "".join(rng.choice("ACGT") for _ in range(300)),
+        "s name": "".join(rng.choice("ACGT") for _ in range(900)),
+        "t3": "".join(rng.choice("ACGT") for _ in range(8000)),
+    }
+    th = {t: np.unique(sequence_hashes(s, 19, 31)) for t, s in refs.items()}
+    forest = build_hibf(th, kmer_size=19, window_size=31, max_fp=0.05,
+                        num_classes=3)
+    assert len(forest.subs) > 1
+    npz = str(tmp_path / "db.hibf")
+    forest.save(npz)
+    raptor = str(tmp_path / "db_raptor.hibf")
+    export_raptor_hibf(forest, th, raptor)
+    assert is_raptor_hibf(raptor)
+    parsed = read_raptor_hibf(raptor)
+    assert sorted(parsed["targets"]) == sorted(refs)
+
+    reads = tmp_path / "r.fq"
+    with open(reads, "w") as f:
+        for i, (t, s) in enumerate(sorted(refs.items())):
+            f.write(f"@r{i}\n{s[5:155]}\n+\n{'I' * 150}\n")
+        f.write(f"@junk\n{''.join(rng.choice('ACGT') for _ in range(150))}\n"
+                f"+\n{'I' * 150}\n")
+
+    outs = {}
+    for tag, db in (("forest", npz), ("raptor", raptor)):
+        prefix = str(tmp_path / tag)
+        run_classify(ClassifyConfig(
+            ibf=[db], single_reads=[str(reads)], output_prefix=prefix,
+            output_all=True, output_unclassified=True, rel_cutoff=[0.1],
+        ))
+        outs[tag] = {
+            ext: sorted(open(prefix + ext).read().splitlines())
+            for ext in (".all", ".unc")
+        }
+    assert outs["forest"] == outs["raptor"]
