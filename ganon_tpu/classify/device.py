@@ -18,6 +18,7 @@ from ganon_tpu.ops.minimizers import encode_seqs, minimizers_masked_jax
 from ganon_tpu.ops.ibf_query import (
     ibf_row_indices,
     bulk_target_counts_packed,
+    commit_device_table,
     compact_hashes,
     pack_table_u8,
     table_as_u32,
@@ -579,24 +580,9 @@ class DeviceFilter:
             self.byte_starts = jax.device_put(jnp.asarray(byte_starts), rep)
             self.byte_ends = jax.device_put(jnp.asarray(byte_ends), rep)
         else:
-            if tbl8.nbytes > _U32_TABLE_BYTES:
-                # HBM regime: gather u32 words (2-2.5x fewer row-fetch
-                # transactions, same bytes — ops.ibf_query.table_as_u32)
-                tbl8 = table_as_u32(tbl8)
-            # commit the table row-major: the default committed layout is
-            # column-major, which costs a relayout copy in every batch
-            try:
-                from jax.experimental.layout import Format, Layout
-
-                self.tbl8 = jax.device_put(
-                    tbl8,
-                    Format(
-                        Layout((1, 0)),
-                        jax.sharding.SingleDeviceSharding(jax.devices()[0]),
-                    ),
-                )
-            except Exception:
-                self.tbl8 = jnp.asarray(tbl8)
+            # u32-past-the-staging-budget + row-major commit: one shared
+            # policy (ops.ibf_query.commit_device_table)
+            self.tbl8 = commit_device_table(tbl8, _U32_TABLE_BYTES)
             self.byte_starts = jnp.asarray(byte_starts)
             self.byte_ends = jnp.asarray(byte_ends)
         self.target_fpr = ibf.target_fpr()
@@ -809,8 +795,7 @@ class DeviceRaptorHIBF:
                     NamedSharding(mesh, P(None, "bins")),
                 )
             else:
-                tbl_dev = jnp.asarray(
-                    table_as_u32(tbl8) if wide else tbl8)
+                tbl_dev = commit_device_table(tbl8, _U32_TABLE_BYTES)
             self.subs.append({
                 "tbl8": tbl_dev,
                 "byte_starts": jnp.asarray(bstarts),

@@ -30,6 +30,7 @@ from ganon_tpu.classify.thresholds import FprQueryMinCount
 from ganon_tpu.io.pipeline import (
     EncodedBatch,
     ThreadedBatchSource,
+    bucketed_batches,
     encoded_batches,
 )
 
@@ -71,6 +72,9 @@ class ClassifyConfig:
     # >1 hides the device round-trip (and, with async host copies,
     # divides per-call latency on remote devices by the depth)
     pipeline_depth: int = 4
+    # regroup read batches by length bucket before padding (mixed-length
+    # inputs; io.pipeline.bucketed_batches). Off = original streaming.
+    length_bucketing: bool = True
     hashes_limit: int = 65535  # uint16 counter limit; raise for long reads
     device_thresholding: bool = True  # on-device cutoff/filter + top-K
     top_k_matches: int = 128  # compact output width (falls back if exceeded)
@@ -472,8 +476,13 @@ def run_classify(cfg: ClassifyConfig) -> dict:
                             )
 
                 # reader/encoder runs on a background thread (SafeQueue
-                # analogue) overlapping with device compute
-                for b in ThreadedBatchSource(produce()):
+                # analogue) overlapping with device compute; mixed-length
+                # inputs are regrouped by length bucket so one long read
+                # does not pad a whole batch (io.pipeline.bucketed_batches)
+                stream = produce()
+                if cfg.length_bucketing:
+                    stream = bucketed_batches(stream, cfg.n_reads)
+                for b in ThreadedBatchSource(stream):
                     totals[b.prefix].input_seqs += len(b)
                     yield b
             else:

@@ -157,6 +157,78 @@ def encoded_batches(file1, file2, prefix, n_reads, use_native=True):
     yield from _python_batches(file1, file2, prefix, n_reads)
 
 
+def bucketed_batches(source, n_reads: int, max_bucket_bytes: int = 64 << 20):
+    """Regroup a batch stream by read-length bucket before padding.
+
+    Mixed-length inputs (nanopore-style distributions) otherwise pad
+    every read in a batch to the longest record's bucket — one 100 kb
+    read makes thousands of 1 kb reads pay ~100x the hashing work
+    (reference skips nothing here: its per-read loop is shape-free,
+    GanonClassify.cpp:693-700; fixed device shapes are a TPU-only
+    concern). Reads are binned by ``bucket_len(max(len1, len2))`` and
+    re-emitted as per-bucket batches of up to ``n_reads`` rows (flushed
+    earlier past ``max_bucket_bytes``). Single-bucket input batches
+    (uniform short-read workloads) pass through untouched, preserving
+    the original streaming behavior.
+    """
+    from ganon_tpu.classify.device import bucket_len
+
+    acc: dict[tuple[str, bool, int], list[EncodedBatch]] = {}
+    sizes: dict[tuple[str, bool, int], int] = {}
+
+    def emit(key):
+        parts = acc.pop(key)
+        sizes.pop(key)
+        prefix, paired, bl = key
+        if len(parts) == 1:
+            return parts[0]
+        w1 = max(p.codes1.shape[1] for p in parts)
+        b = EncodedBatch(prefix=prefix, paired=paired)
+        b.ids = [rid for p in parts for rid in p.ids]
+        b.codes1 = np.concatenate(
+            [np.pad(p.codes1, ((0, 0), (0, w1 - p.codes1.shape[1])))
+             for p in parts]
+        )
+        b.len1 = np.concatenate([p.len1 for p in parts])
+        if paired:
+            w2 = max(p.codes2.shape[1] for p in parts)
+            b.codes2 = np.concatenate(
+                [np.pad(p.codes2, ((0, 0), (0, w2 - p.codes2.shape[1])))
+                 for p in parts]
+            )
+            b.len2 = np.concatenate([p.len2 for p in parts])
+        return b
+
+    for batch in source:
+        if not len(batch):
+            continue
+        lmax = batch.len1
+        if batch.paired:
+            lmax = np.maximum(lmax, batch.len2)
+        lo = bucket_len(max(int(lmax.min()), 1))
+        hi = bucket_len(max(int(lmax.max()), 1))
+        if lo == hi and not acc:
+            yield batch  # uniform batch, nothing buffered: pass through
+            continue
+        # split rows by bucket (vectorized over the unique lengths)
+        ulen = np.unique(lmax)
+        ubkt = np.asarray([bucket_len(max(int(x), 1)) for x in ulen])
+        row_bkt = ubkt[np.searchsorted(ulen, lmax)]
+        for bl in np.unique(row_bkt):
+            idx = np.nonzero(row_bkt == bl)[0]
+            part = batch.select(idx)
+            key = (batch.prefix, batch.paired, int(bl))
+            acc.setdefault(key, []).append(part)
+            sizes[key] = sizes.get(key, 0) + len(part)
+            if (
+                sizes[key] >= n_reads
+                or sizes[key] * int(bl) >= max_bucket_bytes
+            ):
+                yield emit(key)
+    for key in sorted(acc):
+        yield emit(key)
+
+
 class ThreadedBatchSource:
     """Run a batch generator on a background thread (bounded queue)."""
 

@@ -232,6 +232,36 @@ def table_as_u32(tbl8: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(tbl8).view(np.uint32)
 
 
+def commit_device_table(tbl8: np.ndarray, u32_threshold_bytes=None):
+    """THE single-device production table layout (DeviceFilter policy):
+    u32 word view past the u8 VMEM staging budget, committed row-major
+    on device (the default committed layout is column-major, which costs
+    a relayout copy in every batch). Benches and probes must call this
+    instead of re-deriving the policy, or they drift from what the
+    engine actually runs."""
+    import jax
+    import jax.numpy as jnp
+
+    if u32_threshold_bytes is None:
+        from ganon_tpu.index.sizing import VMEM_STAGED_TABLE_BYTES
+
+        u32_threshold_bytes = VMEM_STAGED_TABLE_BYTES
+    if tbl8.nbytes > u32_threshold_bytes:
+        tbl8 = table_as_u32(tbl8)
+    try:
+        from jax.experimental.layout import Format, Layout
+
+        return jax.device_put(
+            tbl8,
+            Format(
+                Layout((1, 0)),
+                jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+            ),
+        )
+    except Exception:
+        return jnp.asarray(tbl8)
+
+
 def _popcount_u32_bytelanes(x):
     """Per-byte popcounts kept in their byte lanes (SWAR, no fold)."""
     x = x - ((x >> 1) & jnp.uint32(0x55555555))

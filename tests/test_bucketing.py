@@ -1,0 +1,108 @@
+"""Length-bucketed batching: grouping behavior + end-to-end invariance."""
+
+import random
+
+import numpy as np
+import pytest
+
+from ganon_tpu.classify.device import bucket_len
+from ganon_tpu.io.pipeline import EncodedBatch, bucketed_batches
+from ganon_tpu.ops.minimizers import encode_seqs
+
+
+def _mk_batch(seqs, ids=None, prefix="p"):
+    b = EncodedBatch(prefix=prefix, paired=False,
+                     ids=ids or [f"r{i}" for i in range(len(seqs))])
+    b.codes1, b.len1 = encode_seqs(seqs)
+    return b
+
+
+def test_uniform_batch_passes_through():
+    seqs = ["ACGT" * 40] * 10  # all one bucket
+    b = _mk_batch(seqs)
+    out = list(bucketed_batches(iter([b]), n_reads=100))
+    assert len(out) == 1 and out[0] is b
+
+
+def test_mixed_lengths_split_by_bucket():
+    rng = random.Random(3)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(n))
+            for n in (100, 150, 2000, 120, 1900, 90)]
+    b = _mk_batch(seqs)
+    out = list(bucketed_batches(iter([b]), n_reads=100))
+    # every emitted batch spans exactly one bucket
+    assert len(out) > 1
+    got_ids = []
+    for o in out:
+        bks = {bucket_len(max(int(x), 1)) for x in o.len1}
+        assert len(bks) == 1
+        # width is trimmed/padded consistently with the rows it carries
+        assert o.codes1.shape[0] == len(o.ids)
+        got_ids.extend(o.ids)
+    assert sorted(got_ids) == sorted(b.ids)  # nothing lost or duplicated
+
+
+def test_accumulates_across_batches_and_flushes():
+    rng = random.Random(4)
+
+    def gen():
+        for _ in range(5):
+            seqs = ["".join(rng.choice("ACGT") for _ in range(n))
+                    for n in (100, 3000)]
+            yield _mk_batch(seqs)
+
+    out = list(bucketed_batches(gen(), n_reads=4))
+    assert sum(len(o) for o in out) == 10
+    # short reads accumulate to n_reads before emitting
+    assert any(len(o) >= 4 for o in out)
+
+
+def test_rows_match_original_content():
+    rng = random.Random(5)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(n))
+            for n in (64, 64, 5000, 64)]
+    b = _mk_batch(seqs)
+    orig = {rid: (b.codes1[i, : b.len1[i]].copy(), int(b.len1[i]))
+            for i, rid in enumerate(b.ids)}
+    for o in bucketed_batches(iter([b]), n_reads=2):
+        for i, rid in enumerate(o.ids):
+            codes, ln = orig[rid]
+            assert int(o.len1[i]) == ln
+            assert np.array_equal(o.codes1[i, :ln], codes)
+
+
+def test_classify_invariant_under_bucketing(tmp_path):
+    """End-to-end: mixed-length fastq classifies to the same sorted
+    outputs whether or not batches get regrouped (n_reads forces both
+    multi-bucket splits and accumulation)."""
+    from ganon_tpu.classify.engine import ClassifyConfig, run_classify
+    from tests.test_classify import build_db, read_tsv
+
+    rng = random.Random(9)
+    refs = {f"T{i}": "".join(rng.choice("ACGT") for _ in range(3000))
+            for i in range(3)}
+    db = build_db(tmp_path, refs, k=19, w=31, max_fp=0.05)
+    reads = {}
+    for i in range(60):
+        t = f"T{rng.randrange(3)}"
+        ln = rng.choice([80, 150, 700, 1500])
+        s = rng.randrange(3000 - ln)
+        reads[f"q{i}"] = refs[t][s : s + ln]
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for rid, s in reads.items():
+            f.write(f"@{rid}\n{s}\n+\n{'I' * len(s)}\n")
+
+    outs = {}
+    for n_reads in (8, 4096):  # small => heavy regrouping; big => 1 batch
+        prefix = str(tmp_path / f"n{n_reads}")
+        run_classify(ClassifyConfig(
+            ibf=[db], single_reads=[str(fq)], output_prefix=prefix,
+            rel_cutoff=[0.25], output_all=True, output_unclassified=True,
+            n_reads=n_reads,
+        ))
+        outs[n_reads] = {
+            ext: sorted(map(tuple, read_tsv(prefix + ext)))
+            for ext in (".all", ".rep", ".unc")
+        }
+    assert outs[8] == outs[4096]
