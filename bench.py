@@ -95,19 +95,32 @@ def build_database(name):
         except Exception:
             pass
 
+    # batch pieces from MANY targets per device call (a per-target loop
+    # pays one tunnel round trip per target — minutes at T=1024)
     step = CHUNK - (W - 1)
-    starts = list(range(0, genome_len - W + 1, step))
-    target_hashes = {}
-    for t in range(n_targets):
-        chunks = np.zeros((len(starts), min(CHUNK, genome_len)),
-                          dtype=np.uint8)
-        lens = np.zeros(len(starts), dtype=np.int32)
-        for i, s in enumerate(starts):
+    pieces = [
+        (t, s)
+        for t in range(n_targets)
+        for s in range(0, genome_len - W + 1, step)
+    ]
+    width = min(CHUNK, genome_len)
+    group = max(1, (16 << 20) // width)
+    parts: dict[int, list] = {t: [] for t in range(n_targets)}
+    for i in range(0, len(pieces), group):
+        grp = pieces[i : i + group]
+        chunks = np.zeros((group, width), dtype=np.uint8)  # fixed shape
+        lens = np.zeros(group, dtype=np.int32)
+        for j, (t, s) in enumerate(grp):
             piece = genomes[t, s : s + CHUNK]
-            chunks[i, : len(piece)] = piece
-            lens[i] = len(piece)
+            chunks[j, : len(piece)] = piece
+            lens[j] = len(piece)
         mv, valid = window_mins_jax(chunks, lens, k=K, w=W)
-        target_hashes[f"T{t}"] = np.unique(np.asarray(mv)[np.asarray(valid)])
+        mv, valid = np.asarray(mv), np.asarray(valid)
+        for j, (t, s) in enumerate(grp):
+            parts[t].append(mv[j][valid[j]])
+    target_hashes = {
+        f"T{t}": np.unique(np.concatenate(v)) for t, v in parts.items() if v
+    }
     ibf = build_ibf(target_hashes, kmer_size=K, window_size=W, max_fp=0.05)
     os.makedirs(CACHE_DIR, exist_ok=True)
     ibf.save(db_path)

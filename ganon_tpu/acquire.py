@@ -63,17 +63,74 @@ def _base(kind: str) -> str:
     return NCBI_BASE if kind == "ncbi" else GTDB_BASE
 
 
-def _fetch(url: str, dest: str, quiet: bool = True) -> str:
-    """Fetch a repository file to ``dest`` (copy when the base is local)."""
+def _fetch(url: str, dest: str, quiet: bool = True, retries: int = 3) -> str:
+    """Fetch a repository file to ``dest`` (copy when the base is local).
+
+    Remote fetches stream into ``dest + '.part'`` and rename atomically
+    on success, so an interrupted download can never masquerade as a
+    complete file; failures retry with backoff (the reference's tooling
+    retries 3x, scripts/ganon-get-seq-info.sh:2-3 / genome_updater).
+    """
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     if os.path.isfile(url):
         shutil.copyfile(url, dest)
-    elif url.startswith(("http://", "https://", "ftp://")):
-        print_log("Downloading " + url, quiet)
-        urllib.request.urlretrieve(url, dest)
-    else:
+        return dest
+    if not url.startswith(("http://", "https://", "ftp://")):
         raise FileNotFoundError(url)
-    return dest
+    print_log("Downloading " + url, quiet)
+    part = dest + ".part"
+    last: Exception | None = None
+    for attempt in range(max(retries, 1)):
+        try:
+            urllib.request.urlretrieve(url, part)
+            os.replace(part, dest)
+            return dest
+        except Exception as e:  # noqa: BLE001 — network layer, retry all
+            last = e
+            if os.path.exists(part):
+                os.remove(part)
+            if attempt + 1 < retries:
+                time.sleep(2**attempt)
+    raise last
+
+
+def _md5_expected(ftp_path: str, name: str, quiet: bool) -> str | None:
+    """Expected md5 of ``name`` from the assembly's md5checksums.txt.
+
+    None when the repository does not carry checksums (the local test
+    mirrors) — verification is then skipped, matching genome_updater's
+    behavior of checking only when the file exists (-m flag, reference
+    build_update.py call sites).
+    """
+    import tempfile
+
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            p = _fetch(
+                _remap(ftp_path) + "/md5checksums.txt",
+                os.path.join(td, "md5checksums.txt"),
+                quiet=True, retries=1,
+            )
+            with open(p) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 2 and os.path.basename(
+                        parts[-1]
+                    ) == name:
+                        return parts[0]
+    except Exception:
+        return None
+    return None
+
+
+def _md5_of(path: str) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        while chunk := f.read(1 << 20):
+            h.update(chunk)
+    return h.hexdigest()
 
 
 def _remap(ftp_path: str) -> str:
@@ -224,7 +281,20 @@ def _download_rows(summary: pd.DataFrame, files_folder: str,
             if os.path.isfile(prev):
                 os.link(prev, dest)
                 return dest
-        return _fetch(_remap(ftp_path) + "/" + name, dest, quiet)
+        _fetch(_remap(ftp_path) + "/" + name, dest, quiet)
+        # checksum verification when the repository provides one
+        # (genome_updater -m); one re-download on mismatch
+        expect = _md5_expected(ftp_path, name, quiet)
+        if expect is not None and _md5_of(dest) != expect:
+            os.remove(dest)
+            _fetch(_remap(ftp_path) + "/" + name, dest, quiet)
+            got = _md5_of(dest)
+            if got != expect:
+                os.remove(dest)
+                raise IOError(
+                    f"md5 mismatch for {name}: expected {expect}, got {got}"
+                )
+        return dest
 
     with ThreadPoolExecutor(max_workers=max(1, threads)) as pool:
         return list(pool.map(fetch_one, summary["ftp_path"].tolist()))

@@ -8,6 +8,7 @@ counted against each filter's bit-matrix.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -822,25 +823,50 @@ class DeviceRaptorHIBF:
         return out
 
 
+# repeated run_classify calls over the same db (servers, benchmarks, the
+# report->reclassify loop) pay filter load + table packing + device
+# placement every time otherwise (~0.7 s for a 20 MB db); key on file
+# identity so a rebuilt db invalidates
+_FILTER_CACHE: dict = {}
+_FILTER_CACHE_CAP = 4
+
+
 def load_device_filter(path: str, mesh=None):
     """Open an .ibf or .hibf file as a device-resident filter.
 
     ``.hibf`` files are auto-detected: raptor cereal index (the files the
     reference builds through raptor) or our native npz forest. ``mesh``
     shards plain IBFs over a (batch, bins) device mesh (HIBF forests
-    stay single-device for now).
+    stay single-device for now). Loaded filters are memoized on
+    (path, mtime_ns, size, mesh) so back-to-back runs skip the load.
     """
     from ganon_tpu.index.ibf import IBF
     from ganon_tpu.index.hibf import HIBF, RaptorHIBF
     from ganon_tpu.index import serialize
 
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size,
+               None if mesh is None else tuple(mesh.devices.flat))
+    except OSError:
+        key = None
+    if key is not None and key in _FILTER_CACHE:
+        return _FILTER_CACHE[key]
+
     if path.endswith(".hibf"):
         import zipfile
 
         if not zipfile.is_zipfile(path) and serialize.is_raptor_hibf(path):
-            return DeviceRaptorHIBF(RaptorHIBF.load(path), mesh=mesh)
-        return DeviceHIBF(HIBF.load(path), mesh=mesh)
-    return DeviceFilter(IBF.load(path), mesh=mesh)
+            f = DeviceRaptorHIBF(RaptorHIBF.load(path), mesh=mesh)
+        else:
+            f = DeviceHIBF(HIBF.load(path), mesh=mesh)
+    else:
+        f = DeviceFilter(IBF.load(path), mesh=mesh)
+    if key is not None:
+        while len(_FILTER_CACHE) >= _FILTER_CACHE_CAP:
+            _FILTER_CACHE.pop(next(iter(_FILTER_CACHE)))
+        _FILTER_CACHE[key] = f
+    return f
 
 
 def batch_to_device(batch, w: int, batch_pad: int):

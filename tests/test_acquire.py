@@ -156,3 +156,76 @@ def test_update_adds_group(tmp_path, output_db_prefix):
     # saved config points at the migrated folder so further updates work
     assert saved["input"][0].startswith(out_prefix + "_files")
     assert os.path.isfile(out_prefix + "_files/history.tsv")
+
+
+def test_fetch_retries_and_atomic(tmp_path, monkeypatch):
+    """Remote fetches retry with backoff and never leave a partial file
+    at the destination path."""
+    from ganon_tpu import acquire
+
+    calls = {"n": 0}
+
+    def flaky(url, part):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            with open(part, "w") as f:
+                f.write("partial")  # simulated torn download
+            raise IOError("connection reset")
+        with open(part, "w") as f:
+            f.write("payload")
+
+    monkeypatch.setattr(acquire.urllib.request, "urlretrieve", flaky)
+    monkeypatch.setattr(acquire.time, "sleep", lambda s: None)
+    dest = tmp_path / "f.txt"
+    acquire._fetch("https://example.org/f.txt", str(dest))
+    assert dest.read_text() == "payload"
+    assert calls["n"] == 3
+    assert not (tmp_path / "f.txt.part").exists()
+
+    calls["n"] = -10  # always failing
+    with pytest.raises(IOError):
+        acquire._fetch("https://example.org/g.txt", str(tmp_path / "g.txt"))
+    assert not (tmp_path / "g.txt").exists()
+    assert not (tmp_path / "g.txt.part").exists()
+
+
+def test_download_md5_verification(tmp_path, monkeypatch):
+    """A wrong md5checksums.txt entry fails the download loudly; a
+    correct one (or none) passes."""
+    import hashlib
+
+    from ganon_tpu import acquire
+
+    monkeypatch.delenv("local_dir", raising=False)
+    asm = tmp_path / "repo" / "GCA_1_v1"
+    asm.mkdir(parents=True)
+    payload = b"fake genome bytes"
+    (asm / "GCA_1_v1_genomic.fna.gz").write_bytes(payload)
+    good = hashlib.md5(payload).hexdigest()
+
+    import pandas as pd
+
+    summary = pd.DataFrame({"ftp_path": [str(asm)]})
+
+    # correct checksum -> ok
+    (asm / "md5checksums.txt").write_text(
+        f"{good}  ./GCA_1_v1_genomic.fna.gz\n"
+    )
+    out = tmp_path / "files_ok"
+    got = acquire._download_rows(summary, str(out), None, 1, True)
+    assert (out / "GCA_1_v1_genomic.fna.gz").read_bytes() == payload
+
+    # corrupted checksum -> loud failure, no file left behind
+    (asm / "md5checksums.txt").write_text(
+        f"{'0'*32}  ./GCA_1_v1_genomic.fna.gz\n"
+    )
+    out2 = tmp_path / "files_bad"
+    with pytest.raises(IOError, match="md5 mismatch"):
+        acquire._download_rows(summary, str(out2), None, 1, True)
+    assert not (out2 / "GCA_1_v1_genomic.fna.gz").exists()
+
+    # no checksum file -> verification skipped
+    (asm / "md5checksums.txt").unlink()
+    out3 = tmp_path / "files_nosum"
+    acquire._download_rows(summary, str(out3), None, 1, True)
+    assert (out3 / "GCA_1_v1_genomic.fna.gz").exists()
