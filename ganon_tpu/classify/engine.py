@@ -295,6 +295,12 @@ class LevelContext:
         # level-scoped fpr-query threshold cache (reads repeat lengths,
         # targets repeat fprs across batches)
         self.fpr_min = FprQueryMinCount(level.fpr_query)
+        # adaptive compact-output width: the [B, K] match transfer is the
+        # per-batch device->host payload, and with strict default
+        # cutoffs most reads carry a handful of matches — start small
+        # and escalate to cfg.top_k_matches only when a batch overflows
+        # (the escalation is sticky for the rest of the level)
+        self.top_k_current = min(32, cfg.top_k_matches)
 
         # taxonomy: merge (first wins), add missing targets under root
         self.tax: dict[str, tuple[str, str, str]] = {}
@@ -591,7 +597,7 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
     codes1, len1, codes2, len2, m1, m2 = dev.batch_to_device(
         batch, w, batch_pad
     )
-    K = min(cfg.top_k_matches, f.num_targets)
+    K = min(ctx.top_k_current, f.num_targets)
     pack16 = f.num_targets <= 0xFFFF and cfg.hashes_limit <= 0xFFFF
     inbuf = dev.pack_batch_input(codes1, len1, codes2, len2)
     if is_raptor:
@@ -674,7 +680,7 @@ def _dispatch_batch_fast_multi(batch: EncodedBatch, ctx: LevelContext,
     codes1, len1, codes2, len2, m1, m2 = dev.batch_to_device(
         batch, w, batch_pad
     )
-    K = min(cfg.top_k_matches, U)
+    K = min(ctx.top_k_current, U)
     inbuf = dev.pack_batch_input(codes1, len1, codes2, len2)
     packed = dev.classify_batch_packed_multi(
         tuple(f.tbl8 for f in ctx.filters),
@@ -699,12 +705,25 @@ def _dispatch_batch_fast_multi(batch: EncodedBatch, ctx: LevelContext,
 def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
                        out, one_files, all_files):
     """Fetch + finish an in-flight fast batch (one device->host trip);
-    falls back to the exact full path on compaction/top-K overflow."""
+    escalates the compact width on top-K overflow (sticky for the
+    level), falls back to the exact full path on compaction overflow."""
     batch, (packed, B_pad, K, T, pack16, has_win) = pending
     B0 = len(batch)
     res = dev.unpack_batch_result(
         np.asarray(packed), B_pad, K, T, pack16, has_win
     )
+    if not res["overflow"][:B0].any() and (
+        res["n_matches"][:B0] > K
+    ).any() and ctx.top_k_current < cfg.top_k_matches:
+        # matches exceeded the adaptive compact width: widen to the
+        # configured cap and re-dispatch this batch on the fast path
+        ctx.top_k_current = cfg.top_k_matches
+        disp = _dispatch_batch_fast(batch, ctx, cfg)
+        if disp is not None:
+            return _finish_batch_fast(
+                (batch, disp), ctx, cfg, rep, level_totals, first, last,
+                out, one_files, all_files,
+            )
     if (res["overflow"][:B0].any()
             or (res["n_matches"][:B0] > K).any()):
         return _classify_batch(

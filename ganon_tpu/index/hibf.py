@@ -134,6 +134,10 @@ class RaptorHIBF:
             true_max_fp=self.fpr,
             true_avg_fp=self.fpr,
         )
+        # the raptor format does not carry per-target hash counts; zeros
+        # are a documented limitation (target_fpr() reports the global
+        # fpr instead, GanonClassify.cpp:930-934) — do not consume these
+        # for sizing or abundance math
         self.hashes_count = {t: 0 for t in self._targets}
 
     def targets(self):

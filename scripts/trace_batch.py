@@ -15,6 +15,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ganon_tpu.index.device_build import enable_compile_cache
+
+enable_compile_cache()
 from ganon_tpu.index.ibf import IBF
 from ganon_tpu.ops.ibf_query import pack_table_u8
 from ganon_tpu.classify.device import classify_batch_packed, pack_batch_input
@@ -24,13 +27,16 @@ B, L = 8192, 150
 N_TRACE = 3
 
 
-def main():
-    ibf = IBF.load(".bench_cache/db.ibf")
+def main(db=".bench_cache/db_T32.ibf"):
+    from ganon_tpu.ops.ibf_query import commit_device_table
+
+    ibf = IBF.load(db)
     cfg = ibf.ibf_config
     T = len(ibf.targets())
     tbl8np, bsnp, benp = pack_table_u8(ibf.bits, ibf.bin_to_target_ids(), T)
-    tbl8 = jnp.asarray(tbl8np)
+    tbl8 = commit_device_table(tbl8np)  # production layout policy
     bs, be = jnp.asarray(bsnp), jnp.asarray(benp)
+    print(f"T={T} table={tbl8np.nbytes/1e6:.1f}MB dtype={tbl8.dtype}")
 
     rng = np.random.default_rng(0)
 
@@ -42,13 +48,15 @@ def main():
         return pack_batch_input(codes1, lens, codes2, lens)
 
     def run(buf):
+        # python-scalar thresholds: same jit signature as the engine,
+        # so the persistent compile cache from bench/e2e runs hits
         return classify_batch_packed(
             tbl8, bs, be, jnp.asarray(buf),
-            jnp.float32(0.25), jnp.float32(0.0), jnp.int32(65535),
+            0.25, 0.0, 65535,
             k=K, w=W, L1=L, L2=L,
             bin_size=cfg.bin_size_bits,
             hash_functions=cfg.hash_functions,
-            top_k=32, pack16=True,
+            top_k=min(128, T), pack16=True,
         )
 
     np.asarray(run(make_batch(0)))  # warm
@@ -77,4 +85,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(*sys.argv[1:])

@@ -304,3 +304,37 @@ def test_threshold_topk_sort16_equals_topk():
     for i in range(B):
         for j in range(int(nm[i]) if nm[i] <= 16 else 0):
             assert tw[i, j] == wn[i, ti[i, j]]
+
+
+def test_adaptive_topk_escalation(tmp_path):
+    """More matches than the initial compact width (32): the engine must
+    widen to --top-k-matches and still produce full-path-identical
+    outputs (no silent truncation of .all)."""
+    rng = random.Random(31)
+    shared = "".join(rng.choice("ACGT") for _ in range(200))
+    # 40 targets sharing one sequence -> every read matches all 40
+    refs = {f"T{i:02d}": shared for i in range(40)}
+    db = build_db(tmp_path, refs, k=10, w=12, max_fp=0.01)
+    reads = {f"q{i}": shared[i : i + 60] for i in range(0, 100, 10)}
+    fq = tmp_path / "reads.fq"
+    write_fastq(fq, reads)
+
+    outs = {}
+    for tag, fast in (("fast", True), ("full", False)):
+        out = str(tmp_path / tag)
+        run_classify(ClassifyConfig(
+            ibf=[db], single_reads=[str(fq)], output_prefix=out,
+            rel_cutoff=[0.1], output_all=True, output_unclassified=True,
+            device_thresholding=fast,
+        ))
+        outs[tag] = {
+            ext: sorted(open(out + ext).read().splitlines())
+            for ext in (".all", ".rep", ".unc")
+        }
+    assert outs["fast"] == outs["full"]
+    # every read must carry all 40 matches in .all
+    from collections import Counter
+
+    per_read = Counter(line.split("\t")[0]
+                       for line in outs["fast"][".all"])
+    assert all(v == 40 for v in per_read.values()), per_read
