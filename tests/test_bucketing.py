@@ -106,3 +106,43 @@ def test_classify_invariant_under_bucketing(tmp_path):
             for ext in (".all", ".rep", ".unc")
         }
     assert outs[8] == outs[4096]
+
+
+def test_paired_mixed_lengths_bucketed_by_max(tmp_path):
+    """Paired reads bucket on max(len1, len2) so mates stay aligned;
+    classification invariant under regrouping."""
+    from ganon_tpu.classify.engine import ClassifyConfig, run_classify
+    from tests.test_classify import build_db, read_tsv, write_fastq
+
+    rng = random.Random(13)
+    refs = {f"T{i}": "".join(rng.choice("ACGT") for _ in range(4000))
+            for i in range(3)}
+    db = build_db(tmp_path, refs, k=19, w=31, max_fp=0.05)
+    r1, r2 = {}, {}
+    for i in range(40):
+        t = f"T{rng.randrange(3)}"
+        l1 = rng.choice([80, 150, 1200])
+        l2 = rng.choice([80, 150, 1200])
+        s1 = rng.randrange(4000 - l1)
+        s2 = rng.randrange(4000 - l2)
+        r1[f"q{i}"] = refs[t][s1 : s1 + l1]
+        r2[f"q{i}"] = refs[t][s2 : s2 + l2]
+    f1, f2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    write_fastq(f1, r1)
+    write_fastq(f2, r2)
+
+    outs = {}
+    for n_reads in (6, 4096):
+        prefix = str(tmp_path / f"p{n_reads}")
+        run_classify(ClassifyConfig(
+            ibf=[db], paired_reads=[str(f1), str(f2)],
+            output_prefix=prefix, rel_cutoff=[0.25],
+            output_all=True, output_unclassified=True, n_reads=n_reads,
+        ))
+        outs[n_reads] = {
+            ext: sorted(map(tuple, read_tsv(prefix + ext)))
+            for ext in (".all", ".rep", ".unc")
+        }
+    assert outs[6] == outs[4096]
+    # the mate concat semantics must hold: at least one read classified
+    assert len(outs[6][".all"]) > 0
