@@ -80,6 +80,9 @@ def classify(cfg) -> bool:
         output_single=cfg.output_single,
         tax_root_node=cfg.tax_root_node,
         n_reads=cfg.n_reads,
+        pipeline_depth=getattr(cfg, "pipeline_depth", 4),
+        top_k_matches=getattr(cfg, "top_k_matches", 128),
+        length_bucketing=not getattr(cfg, "no_length_bucketing", False),
         hashes_limit=(1 << 32) - 1 if getattr(cfg, "longreads", False) else 65535,
         quiet=cfg.quiet,
         verbose=cfg.verbose,

@@ -312,6 +312,13 @@ class Config:
                         help=argparse.SUPPRESS)
         cl.add_argument("--n-batches", type=unsigned_int(1), default=1000,
                         help=argparse.SUPPRESS)
+        # TPU pipeline tuning (hidden, like the reference's n-reads tier)
+        cl.add_argument("--pipeline-depth", type=unsigned_int(1), default=4,
+                        help=argparse.SUPPRESS)
+        cl.add_argument("--top-k-matches", type=unsigned_int(1), default=128,
+                        help=argparse.SUPPRESS)
+        cl.add_argument("--no-length-bucketing", action="store_true",
+                        default=False, help=argparse.SUPPRESS)
         cl.add_argument("--hibf", action="store_true", default=False,
                         help=argparse.SUPPRESS)
         cl.add_argument("--longreads", action="store_true", default=False,
