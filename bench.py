@@ -140,7 +140,15 @@ def sample_paired_reads(rng, genomes, n):
 
 
 def bench_kernel(name, genomes, ibf):
-    """Fused device kernel throughput (reads/s), one lax.scan dispatch."""
+    """Fused device kernel throughput (reads/s).
+
+    Dispatches N_BATCHES fused batches asynchronously (each folds its
+    outputs to one scalar on device) and blocks once at the end — the
+    same device work as a lax.scan mega-program, but each program stays
+    the production per-batch dispatch, so the compile is the same one
+    the engine uses and the (tunneled) runtime never has to execute a
+    single monolithic multi-hundred-MB-input program.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -156,39 +164,40 @@ def bench_kernel(name, genomes, ibf):
     bstarts, bends = jnp.asarray(bstarts_np), jnp.asarray(bends_np)
     m = READ_LEN - W + 1
 
-    rng = np.random.default_rng(7)
-    a1 = np.zeros((N_BATCHES, BATCH, READ_LEN), np.uint8)
-    a2 = np.zeros((N_BATCHES, BATCH, READ_LEN), np.uint8)
-    al = np.zeros((N_BATCHES, BATCH), np.int32)
-    for i in range(N_BATCHES):
-        a1[i], a2[i], al[i] = sample_paired_reads(rng, genomes, BATCH)
-    j1, j2, jl = jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(al)
-    jax.block_until_ready((j1, j2, jl))
-
     @jax.jit
-    def run_all(tbl8, bstarts, bends, j1, j2, jl):
-        def body(carry, xs):
-            b1, b2, bl = xs
-            c, n, _ = classify_counts_fused(
-                tbl8, bstarts, bends, b1, bl, b2, bl,
-                k=K, w=W, m1=m, m2=m,
-                bin_size=cfg.bin_size_bits,
-                hash_functions=cfg.hash_functions,
-            )
-            # fold outputs so nothing large leaves the device
-            return carry + c.sum() + n.sum(), None
+    def step(tbl8, bstarts, bends, b1, b2, bl):
+        c, n, _ = classify_counts_fused(
+            tbl8, bstarts, bends, b1, bl, b2, bl,
+            k=K, w=W, m1=m, m2=m,
+            bin_size=cfg.bin_size_bits,
+            hash_functions=cfg.hash_functions,
+        )
+        # fold outputs so nothing large leaves the device
+        return c.sum(dtype=jnp.int64) + n.sum(dtype=jnp.int64)
 
-        total, _ = jax.lax.scan(body, jnp.int64(0), (j1, j2, jl))
-        return total
-
-    # transfer the warmup total: on the tunneled device block_until_ready
-    # alone does not reliably fence execution
-    int(run_all(tbl8, bstarts, bends, j1, j2, jl))  # compile + fence
+    rng = np.random.default_rng(7)
+    print(f"[{name}] staging reads on device...", file=sys.stderr)
+    batches = []
+    for i in range(N_BATCHES):
+        r1, r2, ln = sample_paired_reads(rng, genomes, BATCH)
+        batches.append(
+            (jnp.asarray(r1), jnp.asarray(r2), jnp.asarray(ln))
+        )
+    jax.block_until_ready(batches)
+    print(f"[{name}] staged; compiling kernel...", file=sys.stderr)
+    b1, b2, bl = batches[0]
+    int(step(tbl8, bstarts, bends, b1, b2, bl))  # compile + fence
+    print(f"[{name}] kernel compiled; timing...", file=sys.stderr)
     # tunnel throughput varies run to run; report the best of 3 passes
     elapsed = float("inf")
     for _ in range(3):
         t0 = time.time()
-        int(run_all(tbl8, bstarts, bends, j1, j2, jl))
+        totals = [
+            step(tbl8, bstarts, bends, b1, b2, bl)
+            for b1, b2, bl in batches
+        ]
+        jax.block_until_ready(totals)
+        int(totals[-1])  # fence through the tunnel
         elapsed = min(elapsed, time.time() - t0)
     total_reads = BATCH * N_BATCHES
     return total_reads / elapsed
@@ -227,7 +236,9 @@ def bench_e2e(name, genomes, db_path, n_reads):
         output_all=True, output_lca=True, output_unclassified=True,
         quiet=True,
     )
+    print(f"[{name}] e2e warmup (compiles)...", file=sys.stderr)
     run_classify(ClassifyConfig(**kw))  # warmup (compile)
+    print(f"[{name}] e2e timing...", file=sys.stderr)
     elapsed = float("inf")
     for _ in range(2):
         t0 = time.time()
@@ -236,46 +247,14 @@ def bench_e2e(name, genomes, db_path, n_reads):
     return n_reads / elapsed
 
 
-def main():
-    import jax
+def _emit(extra):
+    """Print THE one JSON line from whatever was measured so far.
 
-    dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
-    extra = {}
-
-    t0 = time.time()
-    genomes32, ibf32, db32 = build_database("T32")
-    print(f"T32 db ready in {time.time() - t0:.1f}s: {ibf32.ibf_config}",
-          file=sys.stderr)
-    extra["kernel_T32"] = round(bench_kernel("T32", genomes32, ibf32), 1)
-    print(f"kernel T32: {extra['kernel_T32']:,.0f} reads/s", file=sys.stderr)
-    e2e32 = bench_e2e("T32", genomes32, db32, 131072)
-    extra["e2e_T32"] = round(e2e32, 1)
-    print(f"e2e T32: {e2e32:,.0f} reads/s", file=sys.stderr)
-
-    try:
-        t0 = time.time()
-        genomes1k, ibf1k, db1k = build_database("T1024")
-        print(
-            f"T1024 db ready in {time.time() - t0:.1f}s: {ibf1k.ibf_config}",
-            file=sys.stderr,
-        )
-        extra["kernel_T1024"] = round(
-            bench_kernel("T1024", genomes1k, ibf1k), 1
-        )
-        print(f"kernel T1024: {extra['kernel_T1024']:,.0f} reads/s",
-              file=sys.stderr)
-        extra["e2e_T1024"] = round(
-            bench_e2e("T1024", genomes1k, db1k, 65536), 1
-        )
-        print(f"e2e T1024: {extra['e2e_T1024']:,.0f} reads/s",
-              file=sys.stderr)
-    except Exception as e:  # wide regime must not sink the whole bench
-        print(f"wide-table bench failed: {e!r}", file=sys.stderr)
-        extra["e2e_T1024"] = None
-
-    # headline: END-TO-END throughput in the easy regime (what a user
-    # gets, not just the kernel); wide-table rides in extra
+    Headline: END-TO-END throughput in the easy regime (what a user
+    gets, not just the kernel); wide-table and kernel numbers ride in
+    extra. Falls back to the kernel number if e2e never completed.
+    """
+    e2e32 = extra.get("e2e_T32") or extra.get("kernel_T32") or 0.0
     mbp_per_min = e2e32 * 2 * READ_LEN / 1e6 * 60
     print(
         json.dumps(
@@ -286,8 +265,75 @@ def main():
                 "vs_baseline": round(mbp_per_min / BASELINE_MBP_PER_MIN, 3),
                 "extra": extra,
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    import threading
+
+    import jax
+
+    from ganon_tpu.index.device_build import enable_compile_cache
+
+    enable_compile_cache()
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+    extra = {}
+
+    # the tunneled device intermittently stalls whole programs for many
+    # minutes; emit whatever has been measured rather than hanging the
+    # driver (GANON_BENCH_DEADLINE seconds, 0 disables)
+    deadline = float(os.environ.get("GANON_BENCH_DEADLINE", "480"))
+    if deadline:
+        def _watchdog():
+            print(f"bench watchdog fired after {deadline:.0f}s; emitting "
+                  f"partial results {sorted(extra)}", file=sys.stderr)
+            if not extra:
+                # a zero-value "success" would be worse than a failure
+                print("no metric completed (device stall?)", file=sys.stderr)
+                os._exit(3)
+            _emit(extra)
+            os._exit(0)
+
+        t = threading.Timer(deadline, _watchdog)
+        t.daemon = True
+        t.start()
+
+    t0 = time.time()
+    genomes32, ibf32, db32 = build_database("T32")
+    print(f"T32 db ready in {time.time() - t0:.1f}s: {ibf32.ibf_config}",
+          file=sys.stderr)
+    # e2e first: its programs are the engine's own (most likely cached)
+    e2e32 = bench_e2e("T32", genomes32, db32, 131072)
+    extra["e2e_T32"] = round(e2e32, 1)
+    print(f"e2e T32: {e2e32:,.0f} reads/s", file=sys.stderr)
+    extra["kernel_T32"] = round(bench_kernel("T32", genomes32, ibf32), 1)
+    print(f"kernel T32: {extra['kernel_T32']:,.0f} reads/s", file=sys.stderr)
+
+    try:
+        t0 = time.time()
+        genomes1k, ibf1k, db1k = build_database("T1024")
+        print(
+            f"T1024 db ready in {time.time() - t0:.1f}s: {ibf1k.ibf_config}",
+            file=sys.stderr,
+        )
+        extra["e2e_T1024"] = round(
+            bench_e2e("T1024", genomes1k, db1k, 65536), 1
+        )
+        print(f"e2e T1024: {extra['e2e_T1024']:,.0f} reads/s",
+              file=sys.stderr)
+        extra["kernel_T1024"] = round(
+            bench_kernel("T1024", genomes1k, ibf1k), 1
+        )
+        print(f"kernel T1024: {extra['kernel_T1024']:,.0f} reads/s",
+              file=sys.stderr)
+    except Exception as e:  # wide regime must not sink the whole bench
+        print(f"wide-table bench failed: {e!r}", file=sys.stderr)
+
+    _emit(extra)
+    os._exit(0)  # bypass slow teardown of tunneled device state
 
 
 if __name__ == "__main__":

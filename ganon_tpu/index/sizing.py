@@ -330,6 +330,12 @@ def probe_cost_ns(table_bytes: int, row_bytes: int) -> float:
         # u32 word-view band: measured ~2 ns at 32 B rows; interpolate
         # toward the unstaged price for wide rows (unmeasured here)
         return 3.0 + 0.011 * row_bytes
+    # HBM regime. Round-3 production trace (scripts/trace_batch.py,
+    # T=1024 / 281 MB / 1 KB rows) measured 12.8 ns/probe vs this
+    # model's 22 — the model overestimates wide rows, which is SAFE for
+    # the h-tune (it only makes the tuner more conservative about
+    # moving to fewer/wider probes); keep until a second point pins the
+    # slope.
     return 11.0 + 0.011 * row_bytes
 
 
