@@ -305,6 +305,23 @@ def test_hibf_filter_type(tmp_path):
     assert res["target"].shape[0] == len(FILES)
 
 
+def test_hibf_reference_format_export(tmp_path):
+    """build-custom --filter-type hibf --filter-format reference writes a
+    raptor-format .hibf the classify engine (and the reference binaries)
+    can load, with the same targets as the npz forest."""
+    from ganon_tpu.classify.device import load_device_filter
+    from ganon_tpu.index.serialize import is_raptor_hibf
+
+    p_npz = run_build(tmp_path, "hibf_npz", filter_type="hibf")["db_prefix"]
+    p_rap = run_build(tmp_path, "hibf_rap", filter_type="hibf",
+                      filter_format="reference")["db_prefix"]
+    assert is_raptor_hibf(p_rap + ".hibf")
+    assert not is_raptor_hibf(p_npz + ".hibf")
+    f_npz = load_device_filter(p_npz + ".hibf")
+    f_rap = load_device_filter(p_rap + ".hibf")
+    assert sorted(f_npz.targets) == sorted(f_rap.targets)
+
+
 # ---------------------------------------------------------------------------
 # cross-taxonomy conversion (--convert-taxonomy), reference
 # test_build_custom.py:354-530 expectations on its bundled conversion
