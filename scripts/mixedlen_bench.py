@@ -41,10 +41,12 @@ def main():
     os.makedirs(tmp, exist_ok=True)
     fq = os.path.join(tmp, "reads.fq")
     rr = np.random.default_rng(11)
-    lens = np.minimum(
-        np.exp(rr.normal(np.log(2000), 0.9, size=n)).astype(np.int64) + 100,
-        50_000,
-    )
+    # discrete nanopore-ish length classes (weights ~ log-normal mass):
+    # a continuous distribution would compile one program per 64-multiple
+    # bucket — fine on local hardware, minutes each through the tunnel
+    classes = np.array([500, 1000, 2000, 4000, 8000, 16000])
+    weights = np.array([0.15, 0.2, 0.3, 0.2, 0.1, 0.05])
+    lens = rr.choice(classes, size=n, p=weights / weights.sum())
     base = np.frombuffer(b"ACGT", dtype=np.uint8)
     total_bp = int(lens.sum())
     with open(fq, "wb") as f:
