@@ -148,3 +148,38 @@ def test_engine_counts_match_frozen(name, meta, tmp_path):
             rid, t, c = line.rstrip("\n").split("\t")
             counts.setdefault(rid, {})[t] = int(c)
     assert counts == m["counts"]
+
+
+@pytest.mark.parametrize("cut", [8, 50, 63, 100, 1000, -1])
+def test_truncated_ibf_raises_cleanly(cut, tmp_path):
+    """A truncated/corrupted archive must raise ValueError, never parse
+    silently into a wrong filter."""
+    from ganon_tpu.index.serialize import read_ibf
+
+    raw = _raw("golden_h1.ibf")
+    bad = tmp_path / "trunc.ibf"
+    bad.write_bytes(raw[:cut] if cut > 0 else raw[: len(raw) - 7])
+    with pytest.raises(ValueError):
+        read_ibf(str(bad))
+
+
+def test_corrupt_header_raises(tmp_path):
+    from ganon_tpu.index.serialize import read_ibf
+
+    raw = bytearray(_raw("golden_h1.ibf"))
+    raw[0:4] = (999999).to_bytes(4, "little")  # implausible version
+    bad = tmp_path / "corrupt.ibf"
+    bad.write_bytes(bytes(raw))
+    with pytest.raises(ValueError):
+        read_ibf(str(bad))
+
+
+def test_truncated_hibf_raises_cleanly(tmp_path):
+    from ganon_tpu.index.serialize import read_raptor_hibf
+
+    raw = _raw("golden.hibf")
+    for cut in (10, 100, len(raw) // 2, len(raw) - 9):
+        bad = tmp_path / "trunc.hibf"
+        bad.write_bytes(raw[:cut])
+        with pytest.raises(ValueError):
+            read_raptor_hibf(str(bad))
