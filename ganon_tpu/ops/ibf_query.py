@@ -287,12 +287,16 @@ def bulk_target_counts_u32(tbl32, rows, hash_mask, byte_starts, byte_ends):
         member = member & tbl32[rows[:, :, s]]
     member = jnp.where(hash_mask[:, :, None], member, jnp.uint32(0))
     pc = _popcount_u32_bytelanes(member)  # [B, M, W] 4 lanes/word
-    # lane-safe grouped accumulation: <=31 per-byte popcounts (each <=8)
-    # sum to <=248 without carrying across byte lanes, so groups reduce
-    # in u32 before the 4x int32 lane expansion — 31x less data through
-    # the expand+sum (measured ~10 ms of VPU time at [8192,48,1024])
+    # lane-safe grouped accumulation: per-byte popcounts (each <=8) sum
+    # to G*8 <= 128 without carrying across byte lanes, so groups reduce
+    # in u32 before the 4x int32 lane expansion — 16x less data through
+    # the expand+sum (measured ~10 ms of VPU time at [8192,48,1024]).
+    # G=16 over the lane-max 31: compact widths are multiples of 8 so
+    # the power-of-two group usually needs no pad and the whole
+    # pad+relayout+reduce stage fuses — 9.55 -> 6.66 ms/batch at
+    # [8192,48,256] u32 (scripts/pcreduce_probe.py)
     B, M, W = pc.shape
-    G = 31
+    G = 16
     Mp = -(-M // G) * G
     if Mp != M:
         pc = jnp.pad(pc, ((0, 0), (0, Mp - M), (0, 0)))
@@ -326,11 +330,14 @@ def bulk_target_counts_u8(tbl8, rows, hash_mask, byte_starts, byte_ends):
         member = member & tbl8[rows[:, :, s]]
     member = jnp.where(hash_mask[:, :, None], member, jnp.uint8(0))
     pc = _popcount_u8(member)  # [B, M, W8] values <= 8
-    # grouped accumulation: <=31 popcounts sum to <=248 in u8, so groups
-    # reduce at native width before widening to int32 (31x less data
-    # through the widen+sum; see the u32 twin below)
+    # grouped accumulation: G*8 <= 128 popcount sum fits u8, so groups
+    # reduce at native width before widening to int32 (16x less data
+    # through the widen+sum; see the u32 twin below). G=16 over the
+    # lane-max 31: power-of-two groups divide the compact widths
+    # (multiples of 8) so the pad vanishes and the reduce stage fuses
+    # (scripts/pcreduce_probe.py)
     B, M, W8 = pc.shape
-    G = 31
+    G = 16
     Mp = -(-M // G) * G
     if Mp != M:
         pc = jnp.pad(pc, ((0, 0), (0, Mp - M), (0, 0)))
