@@ -102,6 +102,23 @@ class HIBF:
         )
 
 
+def _per_bin_set_bits(bits: np.ndarray, row_chunk: int = 8192) -> np.ndarray:
+    """Set-bit count per technical bin of a [rows, words] u32 bit matrix.
+
+    Bin ``b`` is bit ``b % 32`` of word ``b // 32``; rows are processed
+    in chunks so large filters never materialize the unpacked matrix.
+    """
+    rows, words = bits.shape
+    out = np.zeros(words * 32, dtype=np.int64)
+    for r0 in range(0, rows, row_chunk):
+        chunk = bits[r0:r0 + row_chunk].view(np.uint8)
+        # little-endian u32: byte j of word w covers bins w*32+8j..+7
+        out += np.unpackbits(
+            chunk, axis=1, bitorder="little"
+        ).sum(axis=0, dtype=np.int64)
+    return out
+
+
 class RaptorHIBF:
     """A raptor-format hierarchical IBF, flattened for data-parallel query.
 
@@ -134,11 +151,39 @@ class RaptorHIBF:
             true_max_fp=self.fpr,
             true_avg_fp=self.fpr,
         )
-        # the raptor format does not carry per-target hash counts; zeros
-        # are a documented limitation (target_fpr() reports the global
-        # fpr instead, GanonClassify.cpp:930-934) — do not consume these
-        # for sizing or abundance math
-        self.hashes_count = {t: 0 for t in self._targets}
+        self._hashes_count = None
+
+    @property
+    def hashes_count(self) -> dict:
+        """Per-target element counts ESTIMATED from filter occupancy.
+
+        The raptor format does not carry per-target hash counts (the
+        reference reports a single global fpr instead,
+        GanonClassify.cpp:930-934). Rather than silent zeros, invert
+        the Bloom fill per technical bin — n = -(m/h)·ln(1 - X/m) for X
+        of m bits set — and sum a user bin's technical bins. Merged
+        (routing) bins carry filename position -1 and are excluded, so
+        subtree supersets are not double-counted. Computed lazily on
+        first access (one pass over the bit matrices) and cached.
+        """
+        if self._hashes_count is None:
+            est = np.zeros(len(self._targets), dtype=np.float64)
+            for (bits, bins, bin_size, hash_funs), b2f in zip(
+                self.ibfs, self.bin_to_filename
+            ):
+                if not len(b2f) or hash_funs <= 0:
+                    continue
+                x = _per_bin_set_bits(bits)  # [total technical bins]
+                fpos = np.asarray(b2f, dtype=np.int64)
+                nb = min(len(fpos), x.shape[0])
+                fill = np.minimum(x[:nb] / float(bin_size), 1.0 - 1e-12)
+                n_b = -(float(bin_size) / hash_funs) * np.log1p(-fill)
+                keep = fpos[:nb] >= 0
+                np.add.at(est, fpos[:nb][keep], n_b[keep])
+            self._hashes_count = {
+                t: int(round(est[i])) for i, t in enumerate(self._targets)
+            }
+        return self._hashes_count
 
     def targets(self):
         return list(self._targets)

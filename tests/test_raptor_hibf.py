@@ -216,3 +216,25 @@ def test_forest_export_classify_parity(tmp_path):
             for ext in (".all", ".unc")
         }
     assert outs["forest"] == outs["raptor"]
+
+
+def test_hashes_count_estimated_from_occupancy(hierarchy):
+    # the raptor format stores no per-target hash counts; RaptorHIBF
+    # estimates them by inverting the Bloom fill per technical bin
+    # (index.hibf.RaptorHIBF.hashes_count) instead of reporting zeros
+    path, groups, child_ibfs, filenames = hierarchy
+    rh = RaptorHIBF.load(path)
+    truth = {}
+    for g in groups.values():
+        for fname, h in g.items():
+            truth[fname] = len(h)
+    # targets are unmangled; rebuild the same mapping order
+    est = rh.hashes_count
+    assert set(est) == set(rh.targets())
+    by_pos = list(est.values())
+    true_by_pos = [truth[f] for f in filenames]
+    for got, want in zip(by_pos, true_by_pos):
+        assert got > 0
+        assert abs(got - want) / want < 0.1, (got, want)
+    # cached: second access returns the same object
+    assert rh.hashes_count is est
