@@ -311,12 +311,15 @@ class LevelContext:
                 if t not in self.tax:
                     self.tax[t] = (cfg.tax_root_node, "no rank", t)
         self.lca: LCA | None = None
+        self.union_lca_ids: np.ndarray | None = None
         if not cfg.skip_lca:
             if cfg.tax_root_node not in self.tax:
                 raise ValueError(
                     f"root node [{cfg.tax_root_node}] not found (--tax-root-node)"
                 )
             self.lca = build_lca(self.tax, cfg.tax_root_node)
+            # union column -> LCA node id, for the batched per-row LCA
+            self.union_lca_ids = self.lca.encode_ids(self.union_targets)
 
 
 # --------------------------------------------------------------------------
@@ -937,11 +940,17 @@ def _classify_batch(
     lca_of: list[str] = []
     if len(multi_rows):
         if not cfg.skip_lca:
-            for i in multi_rows:
-                names = [tn[j] for j in np.nonzero(final[i])[0]]
-                t = ctx.lca.lca(names)
-                _rep(t).seqs_lca += 1
-                lca_of.append(t)
+            # batched per-row LCA: left-align each row's match columns,
+            # then one RMQ per read (lca.lca_rows)
+            F = final[multi_rows]
+            order = np.argsort(~F, axis=1, kind="stable")
+            nm = n_matches[multi_rows].astype(np.int32)
+            cols = order[:, : int(nm.max())]
+            lca_ids = ctx.lca.lca_rows(ctx.union_lca_ids[cols], nm)
+            lca_of = [ctx.lca.decode_id(int(i)) for i in lca_ids]
+            lj, ln_ = np.unique(lca_ids, return_counts=True)
+            for i, n in zip(lj, ln_):
+                _rep(ctx.lca.decode_id(int(i))).seqs_lca += int(n)
         else:
             _rep(cfg.tax_root_node).seqs_lca += len(multi_rows)
 
@@ -1071,9 +1080,12 @@ def _finish_batch_compact(
         tot.kmers_matches += int(max_count[classified].sum())
         tot.matches += int(n_matches.sum())
         tot.seqs_unique += int((n_matches == 1).sum())
-        for i in np.nonzero(classified)[0]:
-            for j in range(int(n_matches[i])):
-                _rep(ctx.union_targets[int(top_idx[i, j])]).matches += 1
+        vkeep = np.arange(top_vals.shape[1])[None, :] < n_matches[:, None]
+        mt = np.bincount(
+            top_idx[vkeep], minlength=len(ctx.union_targets)
+        )
+        for j in np.nonzero(mt)[0]:
+            _rep(ctx.union_targets[j]).matches += int(mt[j])
     else:
         classified = n_matches > 0
         tot.seqs_classified += int(res["seqs_classified"])
@@ -1098,13 +1110,15 @@ def _finish_batch_compact(
     lca_of: list[str] = []
     if len(multi_rows):
         if not cfg.skip_lca:
-            for i in multi_rows:
-                names = [
-                    tn[int(top_idx[i, j])] for j in range(int(n_matches[i]))
-                ]
-                t = ctx.lca.lca(names)
-                _rep(t).seqs_lca += 1
-                lca_of.append(t)
+            # batched per-row LCA (one RMQ per read, no Python fold)
+            lca_ids = ctx.lca.lca_rows(
+                ctx.union_lca_ids[top_idx[multi_rows]],
+                n_matches[multi_rows],
+            )
+            lca_of = [ctx.lca.decode_id(int(i)) for i in lca_ids]
+            lj, ln_ = np.unique(lca_ids, return_counts=True)
+            for i, n in zip(lj, ln_):
+                _rep(ctx.lca.decode_id(int(i))).seqs_lca += int(n)
         else:
             _rep(cfg.tax_root_node).seqs_lca += len(multi_rows)
 

@@ -222,6 +222,11 @@ def _load_lca():
     lib.lca_list.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64
     ]
+    lib.lca_rows.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
     _lca_lib = lib
     return lib
 
@@ -264,6 +269,21 @@ class NativeLCA:
         return self._lib.lca_list(
             self._h, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(a)
         )
+
+    def lca_rows(self, ids: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Per-row LCA of ``ids[r, :lens[r]]``; -1 for empty/invalid rows."""
+        a = np.ascontiguousarray(ids, dtype=np.int32)
+        n_rows, K = a.shape
+        ln = np.ascontiguousarray(lens, dtype=np.int32)
+        out = np.empty(n_rows, dtype=np.int32)
+        self._lib.lca_rows(
+            self._h,
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_rows, K,
+            ln.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out
 
     def close(self):
         if getattr(self, "_h", None):

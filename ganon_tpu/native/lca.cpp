@@ -133,4 +133,32 @@ int32_t lca_list(void* h, const int32_t* nodes, int64_t n) {
     return cur;
 }
 
+// Batched per-row LCA: row r holds lens[r] node ids in ids[r*K .. r*K+lens[r]).
+// The LCA of a set equals euler[rmq(min first, max first)] (one range query
+// instead of a pairwise fold — identical result on a tree). out[r] = -1 for
+// empty rows or rows containing an unreachable/invalid id.
+void lca_rows(void* h, const int32_t* ids, int64_t n_rows, int64_t K,
+              const int32_t* lens, int32_t* out) {
+    auto* idx = static_cast<LcaIndex*>(h);
+    for (int64_t r = 0; r < n_rows; ++r) {
+        const int32_t len = lens[r];
+        if (len <= 0) { out[r] = -1; continue; }
+        const int32_t* row = ids + r * K;
+        int64_t fmin = INT64_MAX, fmax = -1;
+        bool bad = false;
+        for (int32_t j = 0; j < len; ++j) {
+            const int32_t u = row[j];
+            if (u < 0 || u >= idx->n_nodes || idx->first[u] < 0) {
+                bad = true;
+                break;
+            }
+            const int64_t f = idx->first[u];
+            if (f < fmin) fmin = f;
+            if (f > fmax) fmax = f;
+        }
+        if (bad) { out[r] = -1; continue; }
+        out[r] = len == 1 ? row[0] : idx->euler[idx->rmq(fmin, fmax)];
+    }
+}
+
 }  // extern "C"

@@ -103,3 +103,43 @@ def test_reference_fixtures(fixture):
         la, lb = lineage(a), lineage(b)
         common = [x for x in la if x in set(lb)]
         assert got == common[0]  # deepest common ancestor
+
+
+def test_lca_rows_matches_fold():
+    """Batched per-row LCA (single range query) == per-row pairwise fold,
+    on both the native and python backends."""
+    rng = random.Random(7)
+    edges = _random_tree(rng, 400)
+    ln = _any_lca(edges, "n0")
+    lp = _py_lca(edges, "n0")
+    names = [f"n{i}" for i in range(400)]
+    R, K = 64, 5
+    rows, lens = [], []
+    for r in range(R):
+        k = rng.randrange(1, K + 1)
+        q = rng.sample(names, k)
+        ids = [lp._encode[n] for n in q] + [0] * (K - k)
+        rows.append(ids)
+        lens.append(k)
+    ids_mat = np.asarray(rows, dtype=np.int32)
+    lens = np.asarray(lens, dtype=np.int32)
+    for impl in (ln, lp):
+        got = impl.lca_rows(ids_mat, lens)
+        for r in range(R):
+            q = [impl._decode[i] for i in ids_mat[r, :lens[r]]]
+            assert impl._decode[got[r]] == impl.lca(q), (r, q)
+    # zero-length rows come back as -1
+    lens2 = lens.copy()
+    lens2[0] = 0
+    assert lp.lca_rows(ids_mat, lens2)[0] == -1
+    if ln._native is not None:
+        assert ln.lca_rows(ids_mat, lens2)[0] == -1
+
+
+def test_lca_rows_outside_tree_raises():
+    edges = [("1", "2"), ("1", "3")]
+    l = _any_lca(edges, "1")
+    l.add_edge("orphanp", "orphan")  # encoded but not reachable from root
+    ids = np.asarray([[l._encode["orphan"], l._encode["2"]]], dtype=np.int32)
+    with pytest.raises(KeyError):
+        _ = l.lca_rows(ids, np.asarray([2], dtype=np.int32))
