@@ -301,6 +301,11 @@ class LevelContext:
         # and escalate to cfg.top_k_matches only when a batch overflows
         # (the escalation is sticky for the rest of the level)
         self.top_k_current = min(32, cfg.top_k_matches)
+        # ragged match transfer: average compacted slots per read
+        # (device.classify_batch_packed match_cap). 2 slots/read covers
+        # the default-cutoff regime (~30-40% classified, mostly unique)
+        # with headroom; doubles sticky on cap overflow, None = dense
+        self.match_slots: int | None = 2
 
         # taxonomy: merge (first wins), add missing targets under root
         self.tax: dict[str, tuple[str, str, str]] = {}
@@ -639,6 +644,11 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
             top_k=K, pack16=pack16,
         )
     else:
+        cap = 0
+        if pack16 and ctx.match_slots is not None:
+            cap = batch_pad * ctx.match_slots
+            if cap >= batch_pad * K:
+                cap = 0  # dense is no larger — use it
         packed = dev.classify_batch_packed(
             f.tbl8, f.byte_starts, f.byte_ends, f.put_batch(inbuf),
             ctx.specs[0].rel_cutoff, ctx.level.rel_filter, cfg.hashes_limit,
@@ -646,10 +656,12 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
             L2=codes2.shape[1] if codes2 is not None else 0,
             bin_size=f.ibf_config.bin_size_bits,
             hash_functions=f.ibf_config.hash_functions,
-            top_k=K, pack16=pack16,
+            top_k=K, pack16=pack16, match_cap=cap,
         )
+        _start_host_copy(packed)
+        return packed, batch_pad, K, f.num_targets, pack16, False, cap
     _start_host_copy(packed)
-    return packed, batch_pad, K, f.num_targets, pack16, False
+    return packed, batch_pad, K, f.num_targets, pack16, False, 0
 
 
 def _start_host_copy(packed) -> None:
@@ -702,7 +714,7 @@ def _dispatch_batch_fast_multi(batch: EncodedBatch, ctx: LevelContext,
         num_union=U, top_k=K,
     )
     _start_host_copy(packed)
-    return packed, batch_pad, K, U, True, True
+    return packed, batch_pad, K, U, True, True, 0
 
 
 def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
@@ -710,11 +722,35 @@ def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
     """Fetch + finish an in-flight fast batch (one device->host trip);
     escalates the compact width on top-K overflow (sticky for the
     level), falls back to the exact full path on compaction overflow."""
-    batch, (packed, B_pad, K, T, pack16, has_win) = pending
+    batch, (packed, B_pad, K, T, pack16, has_win, cap) = pending
     B0 = len(batch)
-    res = dev.unpack_batch_result(
-        np.asarray(packed), B_pad, K, T, pack16, has_win
-    )
+    if cap > 0:
+        res = dev.unpack_batch_result_ragged(np.asarray(packed), B_pad,
+                                             cap, T, K)
+        if res["cap_overflow"]:
+            # the compacted match stream overran the cap: double the
+            # per-read slot budget (sticky; dense layout once it stops
+            # paying) and re-dispatch this batch
+            total = int(np.minimum(res["n_matches"], K).sum())
+            need = -(-total // max(B_pad, 1)) + 1
+            cur = ctx.match_slots or need
+            ctx.match_slots = max(cur * 2, need)
+            if ctx.match_slots >= K:
+                ctx.match_slots = None
+            disp = _dispatch_batch_fast(batch, ctx, cfg)
+            if disp is None:
+                return _classify_batch(
+                    batch, ctx, cfg, rep, level_totals, first, last, out,
+                    one_files, all_files,
+                )
+            return _finish_batch_fast(
+                (batch, disp), ctx, cfg, rep, level_totals, first, last,
+                out, one_files, all_files,
+            )
+    else:
+        res = dev.unpack_batch_result(
+            np.asarray(packed), B_pad, K, T, pack16, has_win
+        )
     if not res["overflow"][:B0].any() and (
         res["n_matches"][:B0] > K
     ).any() and ctx.top_k_current < cfg.top_k_matches:

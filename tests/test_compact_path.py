@@ -338,3 +338,33 @@ def test_adaptive_topk_escalation(tmp_path):
     per_read = Counter(line.split("\t")[0]
                        for line in outs["fast"][".all"])
     assert all(v == 40 for v in per_read.values()), per_read
+
+
+def test_ragged_match_cap_escalation(tmp_path):
+    # every read matches all 40 targets: the ragged match stream (cap =
+    # 2 slots/read) must overflow, escalate sticky, and still produce
+    # the full match set (device.unpack_batch_result_ragged +
+    # engine cap-overflow re-dispatch)
+    rng = random.Random(9)
+    seq = "".join(rng.choice("ACGT") for _ in range(120))
+    refs = {f"S{i}": seq for i in range(40)}
+    db = build_db(tmp_path, refs, k=10, w=12, max_fp=0.001)
+    reads = {f"r{j}": seq[5:80] for j in range(10)}
+    fq = tmp_path / "r.fq"
+    write_fastq(fq, reads)
+    out = str(tmp_path / "rc")
+    cfg = ClassifyConfig(
+        ibf=[db],
+        single_reads=[str(fq)],
+        output_prefix=out,
+        rel_cutoff=[0.3],
+        output_all=True,
+        device_thresholding=True,
+    )
+    run_classify(cfg)
+    allm = read_tsv(out + ".all")
+    assert len(allm) == 400  # 10 reads x 40 identical targets
+    by_read = {}
+    for rid, t, v in allm:
+        by_read.setdefault(rid, set()).add(t)
+    assert all(len(s) == 40 for s in by_read.values())
