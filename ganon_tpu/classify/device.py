@@ -272,6 +272,69 @@ def _unpack_batch_input(buf, L1: int, L2: int):
     return codes1p, len1, codes2p, len2
 
 
+def _pack_result(res, n_hashes, overflow, *, pack16: bool, match_cap: int,
+                 with_win: bool = False):
+    """Shared packed-output tail of the classify_batch_packed family.
+
+    Dense (``match_cap == 0``): [B*K(*2)] matches (+ [B*K] winners) |
+    [B] n_matches | [B] max_count | [B] n_hashes | [B] overflow |
+    [T]*3 tallies | 3 scalars.
+
+    Ragged (``match_cap > 0``, requires pack16): the valid top-K
+    entries compact row-major into a [C] buffer (+ [C] winners), and
+    the per-read side arrays pack into two u32 words — see
+    classify_batch_packed's docstring for why this ~10x payload cut
+    matters. Unpack with unpack_batch_result / unpack_batch_result_ragged.
+    """
+    tallies = [
+        res["matches_t"], res["disc_t"], res["unique_t"],
+        jnp.stack([
+            res["seqs_classified"].astype(jnp.int32),
+            res["kmers_from_classified"].astype(jnp.int32),
+            res["kmers_matches"].astype(jnp.int32),
+        ]),
+    ]
+    if match_cap > 0:
+        assert pack16, "ragged match transfer requires pack16"
+        K = res["top_vals"].shape[1]
+        m2d = ((res["top_vals"] << 16) | res["top_idx"]).ravel()
+        vmask = (
+            jnp.arange(K, dtype=jnp.int32)[None, :]
+            < res["n_matches"][:, None]
+        ).ravel()
+        pos = jnp.cumsum(vmask.astype(jnp.int32)) - 1
+        dst = jnp.where(vmask, pos, match_cap)
+        comp = jnp.zeros((match_cap,), dtype=jnp.int32).at[dst].set(
+            m2d, mode="drop"
+        )
+        w1 = (res["max_count"] << 16) | res["n_matches"]
+        w2 = (jnp.minimum(n_hashes, 0x1FFFF) << 1) | overflow.astype(
+            jnp.int32
+        )
+        parts = [comp]
+        if with_win:
+            parts.append(
+                jnp.zeros((match_cap,), dtype=jnp.int32).at[dst].set(
+                    res["top_win"].ravel(), mode="drop"
+                )
+            )
+        parts += [w1, w2] + tallies
+        return jnp.concatenate([p.astype(jnp.int32) for p in parts])
+    if pack16:
+        matches = [((res["top_vals"] << 16) | res["top_idx"]).ravel()]
+    else:
+        matches = [res["top_vals"].ravel(), res["top_idx"].ravel()]
+    if with_win:
+        matches.append(res["top_win"].ravel())
+    parts = matches + [
+        res["n_matches"],
+        res["max_count"],
+        n_hashes,
+        overflow.astype(jnp.int32),
+    ] + tallies
+    return jnp.concatenate([p.astype(jnp.int32) for p in parts])
+
+
 @table_format_jit(
     static_argnames=(
         "k", "w", "L1", "L2", "bin_size", "hash_functions", "top_k",
@@ -329,58 +392,14 @@ def classify_batch_packed(
         counts, n_hashes, rel_cutoff, rel_filter, hashes_limit,
         top_k=top_k, sort16=pack16,
     )
-    if match_cap > 0:
-        assert pack16, "ragged match transfer requires pack16"
-        K = res["top_vals"].shape[1]
-        m2d = ((res["top_vals"] << 16) | res["top_idx"]).ravel()
-        vmask = (
-            jnp.arange(K, dtype=jnp.int32)[None, :]
-            < res["n_matches"][:, None]
-        ).ravel()
-        pos = jnp.cumsum(vmask.astype(jnp.int32)) - 1
-        comp = jnp.zeros((match_cap,), dtype=jnp.int32).at[
-            jnp.where(vmask, pos, match_cap)
-        ].set(m2d, mode="drop")
-        w1 = (res["max_count"] << 16) | res["n_matches"]
-        w2 = (jnp.minimum(n_hashes, 0x1FFFF) << 1) | overflow.astype(
-            jnp.int32
-        )
-        parts = [
-            comp, w1, w2,
-            res["matches_t"], res["disc_t"], res["unique_t"],
-            jnp.stack([
-                res["seqs_classified"].astype(jnp.int32),
-                res["kmers_from_classified"].astype(jnp.int32),
-                res["kmers_matches"].astype(jnp.int32),
-            ]),
-        ]
-        return jnp.concatenate([p.astype(jnp.int32) for p in parts])
-    if pack16:
-        matches = [
-            ((res["top_vals"] << 16) | res["top_idx"]).ravel()
-        ]
-    else:
-        matches = [res["top_vals"].ravel(), res["top_idx"].ravel()]
-    parts = matches + [
-        res["n_matches"],
-        res["max_count"],
-        n_hashes,
-        overflow.astype(jnp.int32),
-        res["matches_t"],
-        res["disc_t"],
-        res["unique_t"],
-        jnp.stack([
-            res["seqs_classified"].astype(jnp.int32),
-            res["kmers_from_classified"].astype(jnp.int32),
-            res["kmers_matches"].astype(jnp.int32),
-        ]),
-    ]
-    return jnp.concatenate([p.astype(jnp.int32) for p in parts])
+    return _pack_result(res, n_hashes, overflow, pack16=pack16,
+                        match_cap=match_cap)
 
 
 @table_format_jit(
     static_argnames=(
         "k", "w", "L1", "L2", "sub_params", "top_k", "pack16",
+        "match_cap",
     ),
 )
 def classify_batch_packed_forest(
@@ -388,7 +407,7 @@ def classify_batch_packed_forest(
     rel_cutoff, rel_filter, hashes_limit, *,
     k: int, w: int, L1: int, L2: int,
     sub_params: tuple,  # ((bin_size, hash_functions), ...) per sub-IBF
-    top_k: int, pack16: bool,
+    top_k: int, pack16: bool, match_cap: int = 0,
 ):
     """classify_batch_packed over an IBF forest (native HIBF).
 
@@ -427,31 +446,14 @@ def classify_batch_packed_forest(
         counts, n_hashes, rel_cutoff, rel_filter, hashes_limit,
         top_k=top_k, sort16=pack16,
     )
-    if pack16:
-        matches = [((res["top_vals"] << 16) | res["top_idx"]).ravel()]
-    else:
-        matches = [res["top_vals"].ravel(), res["top_idx"].ravel()]
-    out = matches + [
-        res["n_matches"],
-        res["max_count"],
-        n_hashes,
-        overflow.astype(jnp.int32),
-        res["matches_t"],
-        res["disc_t"],
-        res["unique_t"],
-        jnp.stack([
-            res["seqs_classified"].astype(jnp.int32),
-            res["kmers_from_classified"].astype(jnp.int32),
-            res["kmers_matches"].astype(jnp.int32),
-        ]),
-    ]
-    return jnp.concatenate([p.astype(jnp.int32) for p in out])
+    return _pack_result(res, n_hashes, overflow, pack16=pack16,
+                        match_cap=match_cap)
 
 
 @table_format_jit(
     static_argnames=(
         "k", "w", "L1", "L2", "sub_params", "num_targets", "top_k",
-        "pack16",
+        "pack16", "match_cap",
     ),
 )
 def classify_batch_packed_raptor(
@@ -459,7 +461,7 @@ def classify_batch_packed_raptor(
     rel_cutoff, rel_filter, hashes_limit, *,
     k: int, w: int, L1: int, L2: int,
     sub_params: tuple,  # ((bin_size, hash_functions), ...) per sub-IBF
-    num_targets: int, top_k: int, pack16: bool,
+    num_targets: int, top_k: int, pack16: bool, match_cap: int = 0,
 ):
     """classify_batch_packed over a raptor-format HIBF.
 
@@ -496,30 +498,14 @@ def classify_batch_packed_raptor(
         counts, n_hashes, rel_cutoff, rel_filter, hashes_limit,
         top_k=top_k, sort16=pack16,
     )
-    if pack16:
-        matches = [((res["top_vals"] << 16) | res["top_idx"]).ravel()]
-    else:
-        matches = [res["top_vals"].ravel(), res["top_idx"].ravel()]
-    out = matches + [
-        res["n_matches"],
-        res["max_count"],
-        n_hashes,
-        overflow.astype(jnp.int32),
-        res["matches_t"],
-        res["disc_t"],
-        res["unique_t"],
-        jnp.stack([
-            res["seqs_classified"].astype(jnp.int32),
-            res["kmers_from_classified"].astype(jnp.int32),
-            res["kmers_matches"].astype(jnp.int32),
-        ]),
-    ]
-    return jnp.concatenate([p.astype(jnp.int32) for p in out])
+    return _pack_result(res, n_hashes, overflow, pack16=pack16,
+                        match_cap=match_cap)
 
 
 @table_format_jit(
     static_argnames=(
         "k", "w", "L1", "L2", "sub_params", "num_union", "top_k",
+        "match_cap",
     ),
 )
 def classify_batch_packed_multi(
@@ -527,7 +513,7 @@ def classify_batch_packed_multi(
     rel_cutoffs, rel_filter, hashes_limit, *,
     k: int, w: int, L1: int, L2: int,
     sub_params: tuple,  # ((bin_size, hash_functions), ...) per filter
-    num_union: int, top_k: int,
+    num_union: int, top_k: int, match_cap: int = 0,
 ):
     """classify_batch_packed over SEVERAL independent IBFs in one level.
 
@@ -589,23 +575,8 @@ def classify_batch_packed_multi(
         ucounts, n_hashes, jnp.float64(0.0), rel_filter, hashes_limit,
         top_k=top_k, sort16=True, winners=uwin,
     )
-    parts = [
-        ((res["top_vals"] << 16) | res["top_idx"]).ravel(),
-        res["top_win"].ravel(),
-        res["n_matches"],
-        res["max_count"],
-        n_hashes,
-        overflow.astype(jnp.int32),
-        res["matches_t"],
-        res["disc_t"],
-        res["unique_t"],
-        jnp.stack([
-            res["seqs_classified"].astype(jnp.int32),
-            res["kmers_from_classified"].astype(jnp.int32),
-            res["kmers_matches"].astype(jnp.int32),
-        ]),
-    ]
-    return jnp.concatenate([p.astype(jnp.int32) for p in parts])
+    return _pack_result(res, n_hashes, overflow, pack16=True,
+                        match_cap=match_cap, with_win=True)
 
 
 def unpack_batch_result(packed: np.ndarray, B: int, K: int, T: int,
@@ -647,7 +618,8 @@ def unpack_batch_result(packed: np.ndarray, B: int, K: int, T: int,
 
 
 def unpack_batch_result_ragged(packed: np.ndarray, B: int, C: int,
-                               T: int, K: int) -> dict:
+                               T: int, K: int,
+                               has_win: bool = False) -> dict:
     """Split a ragged classify_batch_packed fetch (match_cap layout).
 
     Reconstructs the [B, Kmax] top_vals/top_idx matrices from the
@@ -668,6 +640,7 @@ def unpack_batch_result_ragged(packed: np.ndarray, B: int, C: int,
         return v
 
     comp = take(C).view(np.uint32)
+    comp_win = take(C) if has_win else None
     w1 = take(B).view(np.uint32)
     w2 = take(B).view(np.uint32)
     n_matches = (w1 & 0xFFFF).astype(np.int32)
@@ -695,6 +668,7 @@ def unpack_batch_result_ragged(packed: np.ndarray, B: int, C: int,
         Km = max(1, int(nm_eff.max()) if B else 1)
         tv = np.zeros((B, Km), dtype=np.int32)
         ti = np.zeros((B, Km), dtype=np.int32)
+        tw = np.zeros((B, Km), dtype=np.int32) if has_win else None
         if total:
             ii = np.repeat(np.arange(B), nm_eff)
             off = np.zeros(B, dtype=np.int64)
@@ -703,8 +677,12 @@ def unpack_batch_result_ragged(packed: np.ndarray, B: int, C: int,
             vals = comp[:total]
             tv[ii, jj] = (vals >> 16).astype(np.int32)
             ti[ii, jj] = (vals & 0xFFFF).astype(np.int32)
+            if has_win:
+                tw[ii, jj] = comp_win[:total]
         out["top_vals"] = tv
         out["top_idx"] = ti
+        if has_win:
+            out["top_win"] = tw
     return out
 
 

@@ -607,6 +607,11 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
     )
     K = min(ctx.top_k_current, f.num_targets)
     pack16 = f.num_targets <= 0xFFFF and cfg.hashes_limit <= 0xFFFF
+    cap = 0
+    if pack16 and ctx.match_slots is not None:
+        cap = batch_pad * ctx.match_slots
+        if cap >= batch_pad * K:
+            cap = 0  # dense is no larger — use it
     inbuf = dev.pack_batch_input(codes1, len1, codes2, len2)
     if is_raptor:
         import jax.numpy as jnp
@@ -624,7 +629,7 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
                 (s["bin_size"], s["hash_funs"]) for s in f.subs
             ),
             num_targets=f.num_targets,
-            top_k=K, pack16=pack16,
+            top_k=K, pack16=pack16, match_cap=cap,
         )
     elif is_forest:
         import jax.numpy as jnp
@@ -641,14 +646,9 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
                 (s.ibf_config.bin_size_bits, s.ibf_config.hash_functions)
                 for s in f.subs
             ),
-            top_k=K, pack16=pack16,
+            top_k=K, pack16=pack16, match_cap=cap,
         )
     else:
-        cap = 0
-        if pack16 and ctx.match_slots is not None:
-            cap = batch_pad * ctx.match_slots
-            if cap >= batch_pad * K:
-                cap = 0  # dense is no larger — use it
         packed = dev.classify_batch_packed(
             f.tbl8, f.byte_starts, f.byte_ends, f.put_batch(inbuf),
             ctx.specs[0].rel_cutoff, ctx.level.rel_filter, cfg.hashes_limit,
@@ -658,10 +658,8 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
             hash_functions=f.ibf_config.hash_functions,
             top_k=K, pack16=pack16, match_cap=cap,
         )
-        _start_host_copy(packed)
-        return packed, batch_pad, K, f.num_targets, pack16, False, cap
     _start_host_copy(packed)
-    return packed, batch_pad, K, f.num_targets, pack16, False, 0
+    return packed, batch_pad, K, f.num_targets, pack16, False, cap
 
 
 def _start_host_copy(packed) -> None:
@@ -696,6 +694,11 @@ def _dispatch_batch_fast_multi(batch: EncodedBatch, ctx: LevelContext,
         batch, w, batch_pad
     )
     K = min(ctx.top_k_current, U)
+    cap = 0
+    if ctx.match_slots is not None:
+        cap = batch_pad * ctx.match_slots
+        if cap >= batch_pad * K:
+            cap = 0
     inbuf = dev.pack_batch_input(codes1, len1, codes2, len2)
     packed = dev.classify_batch_packed_multi(
         tuple(f.tbl8 for f in ctx.filters),
@@ -711,10 +714,10 @@ def _dispatch_batch_fast_multi(batch: EncodedBatch, ctx: LevelContext,
             (f.ibf_config.bin_size_bits, f.ibf_config.hash_functions)
             for f in ctx.filters
         ),
-        num_union=U, top_k=K,
+        num_union=U, top_k=K, match_cap=cap,
     )
     _start_host_copy(packed)
-    return packed, batch_pad, K, U, True, True, 0
+    return packed, batch_pad, K, U, True, True, cap
 
 
 def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
@@ -726,7 +729,7 @@ def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
     B0 = len(batch)
     if cap > 0:
         res = dev.unpack_batch_result_ragged(np.asarray(packed), B_pad,
-                                             cap, T, K)
+                                             cap, T, K, has_win)
         if res["cap_overflow"]:
             # the compacted match stream overran the cap: double the
             # per-read slot budget (sticky; dense layout once it stops
