@@ -368,3 +368,33 @@ def test_ragged_match_cap_escalation(tmp_path):
     for rid, t, v in allm:
         by_read.setdefault(rid, set()).add(t)
     assert all(len(s) == 40 for s in by_read.values())
+
+
+def test_multi_filter_ragged_cap_escalation(tmp_path):
+    # two dbs holding the same 20 copies of one sequence: every read
+    # matches 40 union targets, overflowing the ragged cap on the
+    # MULTI fast path (winner payload rides a second compacted stream)
+    rng = random.Random(13)
+    seq = "".join(rng.choice("ACGT") for _ in range(120))
+    db1 = build_db(tmp_path, {f"A{i}": seq for i in range(20)},
+                   name="db1", k=10, w=12, max_fp=0.001)
+    db2 = build_db(tmp_path, {f"B{i}": seq for i in range(20)},
+                   name="db2", k=10, w=12, max_fp=0.001)
+    reads = {f"r{j}": seq[5:80] for j in range(10)}
+    fq = tmp_path / "r.fq"
+    write_fastq(fq, reads)
+    outputs = {}
+    for mode in (True, False):
+        out = str(tmp_path / f"mc{mode}")
+        run_classify(ClassifyConfig(
+            ibf=[db1, db2],
+            single_reads=[str(fq)],
+            output_prefix=out,
+            rel_cutoff=[0.3],
+            output_all=True,
+            device_thresholding=mode,
+        ))
+        outputs[mode] = out
+    a = sorted(map(tuple, read_tsv(outputs[True] + ".all")))
+    b = sorted(map(tuple, read_tsv(outputs[False] + ".all")))
+    assert len(a) == 400 and a == b
