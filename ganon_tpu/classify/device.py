@@ -68,6 +68,12 @@ def table_format_jit(**jit_kw):
     def deco(impl):
         plain = jax.jit(impl, **jit_kw)
 
+        def _shape_key(a):
+            try:
+                return (a.shape, str(a.dtype))
+            except AttributeError:
+                return type(a).__name__
+
         def call(*args, **kwargs):
             tbl = args[0]
             if isinstance(tbl, (tuple, list)):
@@ -78,23 +84,38 @@ def table_format_jit(**jit_kw):
                 fmts = _committed_format(tbl)
             if fmts is None:
                 return plain(*args, **kwargs)
-            # pjit rejects kwargs alongside in_shardings, so the static
-            # kwargs are closed over via partial and become part of the
-            # executable cache key (same number of compiles as
-            # static_argnames would produce)
-            key = (impl, fmts, len(args), tuple(sorted(kwargs.items())))
+            # AOT (lower + compile), not plain dispatch: at dispatch the
+            # sdy-partitioned jit path drops the layout component of
+            # in_shardings and the big-table param compiles {0,1} with a
+            # relayout copy re-paid every batch; the AOT path keeps the
+            # requested entry layout (verified via compiled
+            # input_formats + device trace). pjit also rejects kwargs
+            # with in_shardings, so statics are closed over via partial;
+            # the executable is cached per (formats, shapes, statics).
+            key = (
+                impl, fmts, tuple(map(_shape_key, args)),
+                tuple(sorted(kwargs.items())),
+            )
             jf = _TABLE_FMT_JITS.get(key)
             if jf is None:
                 in_sh = (fmts,) + (None,) * (len(args) - 1)
                 try:
-                    jf = jax.jit(partial(impl, **kwargs), in_shardings=in_sh)
+                    jf = jax.jit(
+                        partial(impl, **kwargs), in_shardings=in_sh
+                    ).lower(*args).compile()
                 except Exception:
                     _TABLE_FMT_JITS[key] = plain
                     return plain(*args, **kwargs)
                 _TABLE_FMT_JITS[key] = jf
             if jf is plain:
                 return plain(*args, **kwargs)
-            return jf(*args)
+            try:
+                return jf(*args)
+            except Exception:
+                # e.g. an arg arrived with an unexpected committed
+                # layout; the plain jit accepts anything
+                _TABLE_FMT_JITS[key] = plain
+                return plain(*args, **kwargs)
 
         call.__wrapped__ = impl
         call.__name__ = impl.__name__
