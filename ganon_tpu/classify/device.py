@@ -32,99 +32,6 @@ from ganon_tpu.ops.ibf_query import (
 from ganon_tpu.index.sizing import VMEM_STAGED_TABLE_BYTES as _U32_TABLE_BYTES
 
 
-def _committed_format(arr):
-    """The concrete Format (layout + sharding) of a device array, else None."""
-    try:
-        from jax.experimental.layout import Format, Layout
-
-        fmt = arr.format
-        if isinstance(fmt, Format) and isinstance(fmt.layout, Layout):
-            return fmt
-    except Exception:
-        pass
-    return None
-
-
-_TABLE_FMT_JITS: dict = {}
-
-
-def table_format_jit(**jit_kw):
-    """jit that adopts the committed layout of the table argument (arg 0).
-
-    XLA's auto layout assignment picks a column-major {0,1} entry layout
-    for wide-table params at HBM-regime shapes and then relayouts to the
-    row-major form the gather wants INSIDE the program — 0.86 ms per
-    batch at [274000, 256] u32, re-paid every dispatch (round-3 trace,
-    docs/perf_notes.md). Committing Layout((1,0)) on the array alone
-    does not help: the compiled param layout wins. Pinning the param
-    via ``in_shardings=Format(...)`` is the supported way to make jit
-    honor it; one executable is cached per table format.
-
-    Arg 0 may also be a tuple of tables (forest/raptor/multi entries);
-    each leaf's committed format is adopted. Falls back to the plain
-    jit when formats are unavailable (numpy inputs, old jax).
-    """
-
-    def deco(impl):
-        plain = jax.jit(impl, **jit_kw)
-
-        def _shape_key(a):
-            try:
-                return (a.shape, str(a.dtype))
-            except AttributeError:
-                return type(a).__name__
-
-        def call(*args, **kwargs):
-            tbl = args[0]
-            if isinstance(tbl, (tuple, list)):
-                fmts = tuple(_committed_format(t) for t in tbl)
-                if any(f is None for f in fmts):
-                    fmts = None
-            else:
-                fmts = _committed_format(tbl)
-            if fmts is None:
-                return plain(*args, **kwargs)
-            # AOT (lower + compile), not plain dispatch: at dispatch the
-            # sdy-partitioned jit path drops the layout component of
-            # in_shardings and the big-table param compiles {0,1} with a
-            # relayout copy re-paid every batch; the AOT path keeps the
-            # requested entry layout (verified via compiled
-            # input_formats + device trace). pjit also rejects kwargs
-            # with in_shardings, so statics are closed over via partial;
-            # the executable is cached per (formats, shapes, statics).
-            key = (
-                impl, fmts, tuple(map(_shape_key, args)),
-                tuple(sorted(kwargs.items())),
-            )
-            jf = _TABLE_FMT_JITS.get(key)
-            if jf is None:
-                in_sh = (fmts,) + (None,) * (len(args) - 1)
-                try:
-                    jf = jax.jit(
-                        partial(impl, **kwargs), in_shardings=in_sh
-                    ).lower(*args).compile()
-                except Exception:
-                    _TABLE_FMT_JITS[key] = plain
-                    return plain(*args, **kwargs)
-                _TABLE_FMT_JITS[key] = jf
-            if jf is plain:
-                return plain(*args, **kwargs)
-            try:
-                return jf(*args)
-            except Exception:
-                # e.g. an arg arrived with an unexpected committed
-                # layout; the plain jit accepts anything
-                _TABLE_FMT_JITS[key] = plain
-                return plain(*args, **kwargs)
-
-        call.__wrapped__ = impl
-        call.__name__ = impl.__name__
-        call.__doc__ = impl.__doc__
-        return call
-
-    return deco
-
-
 def bucket_len(n: int, minimum: int = 128) -> int:
     """Round a length up to the next bucket.
 
@@ -201,7 +108,8 @@ def compact_width(m_total: int) -> int:
     return min(m_total, max(32, -(-m_total // 5 // 8) * 8))
 
 
-@table_format_jit(
+@partial(
+    jax.jit,
     static_argnames=("k", "w", "m1", "m2", "bin_size", "hash_functions"),
 )
 def classify_counts_fused(
@@ -356,7 +264,8 @@ def _pack_result(res, n_hashes, overflow, *, pack16: bool, match_cap: int,
     return jnp.concatenate([p.astype(jnp.int32) for p in parts])
 
 
-@table_format_jit(
+@partial(
+    jax.jit,
     static_argnames=(
         "k", "w", "L1", "L2", "bin_size", "hash_functions", "top_k",
         "pack16", "match_cap",
@@ -417,7 +326,8 @@ def classify_batch_packed(
                         match_cap=match_cap)
 
 
-@table_format_jit(
+@partial(
+    jax.jit,
     static_argnames=(
         "k", "w", "L1", "L2", "sub_params", "top_k", "pack16",
         "match_cap",
@@ -471,7 +381,8 @@ def classify_batch_packed_forest(
                         match_cap=match_cap)
 
 
-@table_format_jit(
+@partial(
+    jax.jit,
     static_argnames=(
         "k", "w", "L1", "L2", "sub_params", "num_targets", "top_k",
         "pack16", "match_cap",
@@ -523,7 +434,8 @@ def classify_batch_packed_raptor(
                         match_cap=match_cap)
 
 
-@table_format_jit(
+@partial(
+    jax.jit,
     static_argnames=(
         "k", "w", "L1", "L2", "sub_params", "num_union", "top_k",
         "match_cap",

@@ -234,11 +234,16 @@ def table_as_u32(tbl8: np.ndarray) -> np.ndarray:
 
 def commit_device_table(tbl8: np.ndarray, u32_threshold_bytes=None):
     """THE single-device production table layout (DeviceFilter policy):
-    u32 word view past the u8 VMEM staging budget, committed row-major
-    on device (the default committed layout is column-major, which costs
-    a relayout copy in every batch). Benches and probes must call this
-    instead of re-deriving the policy, or they drift from what the
-    engine actually runs."""
+    u32 word view past the u8 VMEM staging budget, committed ROW-major
+    on device. jax's ``Layout`` takes MAJOR-to-minor order, so
+    row-major for [rows, width] is ``Layout((0, 1))`` (dim 1 minor =
+    width contiguous; prints as minor_to_major {1,0} in HLO). jit
+    adopts a committed argument's layout as the entry layout, so
+    committing the wrong order re-paid a 0.86 ms in-program relayout
+    copy every batch at [274617, 256] u32 (round-3 trace) — the gather
+    wants rows contiguous. Benches and probes must call this instead
+    of re-deriving the policy, or they drift from what the engine
+    actually runs."""
     import jax
     import jax.numpy as jnp
 
@@ -254,7 +259,7 @@ def commit_device_table(tbl8: np.ndarray, u32_threshold_bytes=None):
         return jax.device_put(
             tbl8,
             Format(
-                Layout((1, 0)),
+                Layout((0, 1)),
                 jax.sharding.SingleDeviceSharding(jax.devices()[0]),
             ),
         )

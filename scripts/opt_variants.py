@@ -67,7 +67,7 @@ def main():
     tbl_rm = jax.device_put(
         tbl8np,
         Format(
-            Layout((1, 0)),
+            Layout((0, 1)),
             jax.sharding.SingleDeviceSharding(jax.devices()[0]),
         ),
     )

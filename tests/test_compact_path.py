@@ -400,10 +400,12 @@ def test_multi_filter_ragged_cap_escalation(tmp_path):
     assert len(a) == 400 and a == b
 
 
-def test_table_format_jit_caching_and_fallback():
-    # the AOT wrapper must produce identical results to the plain jit,
-    # cache one executable per (format, shapes, statics) and fall back
-    # cleanly for numpy tables / tracers
+def test_commit_device_table_row_major():
+    # jax Layout is MAJOR-to-minor: row-major for [rows, width] must be
+    # Layout((0, 1)) (width minor). Committing the wrong order made jit
+    # adopt a column-major entry layout and re-pay an in-program
+    # relayout copy every batch (round-3 trace; see
+    # ops.ibf_query.commit_device_table)
     import numpy as np
     import jax.numpy as jnp
     from ganon_tpu.classify import device as dev
@@ -411,26 +413,21 @@ def test_table_format_jit_caching_and_fallback():
 
     rng = np.random.default_rng(0)
     tbl8 = rng.integers(0, 256, size=(2048, 64), dtype=np.uint8)
+    committed = commit_device_table(tbl8, u32_threshold_bytes=1 << 40)
+    try:
+        mtm = committed.format.layout.major_to_minor
+    except AttributeError:
+        return  # no layout API on this backend
+    assert mtm == (0, 1), mtm
+    # and the committed table computes the same counts as uncommitted
     bs = jnp.asarray(np.arange(16, dtype=np.int32) * 4)
     be = bs + 4
     codes = jnp.asarray(rng.integers(0, 4, size=(16, 150), dtype=np.uint8))
     lens = jnp.asarray(np.full((16,), 150, np.int32))
     kw = dict(k=19, w=31, m1=120, m2=0, bin_size=1024, hash_functions=1)
-
-    committed = commit_device_table(tbl8, u32_threshold_bytes=1 << 40)
-    before = len(dev._TABLE_FMT_JITS)
     c1, n1, _ = dev.classify_counts_fused(
         committed, bs, be, codes, lens, None, None, **kw)
     c2, n2, _ = dev.classify_counts_fused(
-        committed, bs, be, codes, lens, None, None, **kw)
-    after = len(dev._TABLE_FMT_JITS)
-    assert after == before + 1  # one executable, second call cache-hit
-
-    # plain path (numpy-backed jnp array without our committed format
-    # still has a format; a pure numpy table does not reach jit at all,
-    # so compare against the uncommitted device array)
-    c3, n3, _ = dev.classify_counts_fused(
         jnp.asarray(tbl8), bs, be, codes, lens, None, None, **kw)
     assert np.array_equal(np.asarray(c1), np.asarray(c2))
-    assert np.array_equal(np.asarray(c1), np.asarray(c3))
-    assert np.array_equal(np.asarray(n1), np.asarray(n3))
+    assert np.array_equal(np.asarray(n1), np.asarray(n2))
