@@ -17,10 +17,6 @@ import numpy as np
 from ganon_tpu.io.sequence import SequenceReader
 from ganon_tpu.ops.minimizers import encode_seqs
 
-# hard cap on read length per encoded row (longer reads are truncated; the
-# reference skips reads whose minimizer count exceeds the counter width
-# anyway — see ClassifyConfig.hashes_limit)
-MAX_READ_LEN = 1 << 14
 
 
 @dataclass
@@ -118,14 +114,18 @@ def _python_batches(file1, file2, prefix, n_reads):
                 rid, seq = next(r1)
             except StopIteration:
                 break
+            # never truncate: rows grow to the longest read, matching
+            # the native reader — over-limit reads are SKIPPED by the
+            # hashes_limit rule downstream, exactly like the reference
+            # (GanonClassify.cpp:705,739-741 skips, never truncates)
             ids.append(rid)
-            seqs.append(seq[:MAX_READ_LEN])
+            seqs.append(seq)
             if paired:
                 try:
                     _, seq2 = next(r2)
                 except StopIteration:
                     seq2 = ""
-                seqs2.append(seq2[:MAX_READ_LEN])
+                seqs2.append(seq2)
         if not ids:
             return
         b = EncodedBatch(prefix=prefix, paired=paired, ids=ids)
