@@ -237,6 +237,10 @@ def _pack_result(res, n_hashes, overflow, *, pack16: bool, match_cap: int,
             m2d, mode="drop"
         )
         w1 = (res["max_count"] << 16) | res["n_matches"]
+        # the 0x1FFFF clamp is lossless ONLY because every ragged
+        # (match_cap>0) dispatch path guards cfg.hashes_limit <= 0xFFFF
+        # (engine.py pack16 checks): a clamped n_hashes still compares
+        # as over-limit and the read falls back, never mis-thresholds
         w2 = (jnp.minimum(n_hashes, 0x1FFFF) << 1) | overflow.astype(
             jnp.int32
         )

@@ -736,10 +736,13 @@ def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
             # paying) and re-dispatch this batch
             total = int(np.minimum(res["n_matches"], K).sum())
             need = -(-total // max(B_pad, 1)) + 1
-            cur = ctx.match_slots or need
-            ctx.match_slots = max(cur * 2, need)
-            if ctx.match_slots >= K:
-                ctx.match_slots = None
+            # a pipelined in-flight batch can land AFTER a newer batch
+            # already escalated to dense (None); never resurrect the
+            # ragged layout that was just proven too small
+            if ctx.match_slots is not None:
+                ctx.match_slots = max(ctx.match_slots * 2, need)
+                if ctx.match_slots >= K:
+                    ctx.match_slots = None
             disp = _dispatch_batch_fast(batch, ctx, cfg)
             if disp is None:
                 return _classify_batch(

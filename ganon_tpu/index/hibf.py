@@ -30,6 +30,8 @@ MAGIC = "ganon-tpu-hibf-v1"
 class HIBF:
     """A forest of size-stratified IBFs acting as one filter."""
 
+    hashes_count_is_estimate = False  # exact, carried per sub-IBF
+
     def __init__(self, subs: list[IBF], kmer_size: int, window_size: int,
                  max_fp: float):
         self.subs = subs
@@ -152,6 +154,11 @@ class RaptorHIBF:
             true_avg_fp=self.fpr,
         )
         self._hashes_count = None
+
+    # unlike IBF/HIBF (exact counts carried in the file), raptor-format
+    # counts are occupancy estimates (~10% error) — consumers shared
+    # with the exact formats (sizing, abundance) must check this flag
+    hashes_count_is_estimate = True
 
     @property
     def hashes_count(self) -> dict:

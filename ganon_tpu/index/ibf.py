@@ -33,6 +33,10 @@ class IBF:
       bin_map: list[(binno, target)] technical-bin ownership.
     """
 
+    # counts are exact (carried in the file); see RaptorHIBF for the
+    # occupancy-estimated counterpart
+    hashes_count_is_estimate = False
+
     def __init__(self, bits, ibf_config: IBFConfig, hashes_count, bin_map):
         self.bits = bits
         self.ibf_config = ibf_config

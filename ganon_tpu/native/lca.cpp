@@ -141,7 +141,10 @@ void lca_rows(void* h, const int32_t* ids, int64_t n_rows, int64_t K,
               const int32_t* lens, int32_t* out) {
     auto* idx = static_cast<LcaIndex*>(h);
     for (int64_t r = 0; r < n_rows; ++r) {
-        const int32_t len = lens[r];
+        // clamp to the row width: the Python fallback clips at K, and an
+        // unclamped len > K would read into the next row (or past the
+        // buffer on the last row)
+        const int32_t len = lens[r] > (int32_t)K ? (int32_t)K : lens[r];
         if (len <= 0) { out[r] = -1; continue; }
         const int32_t* row = ids + r * K;
         int64_t fmin = INT64_MAX, fmax = -1;

@@ -24,20 +24,31 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+# device count -> batch-axis size. bins gets the larger share (column
+# sharding divides the table's HBM footprint per chip; read batches can
+# also scale across hosts via multihost.shard_reads, so the in-mesh
+# batch axis stays modest).
+_BATCH_AXIS = {1: 1, 2: 1, 4: 2, 8: 2, 16: 4, 32: 4, 64: 8, 128: 8}
+
+
+def choose_batch_axis(n: int) -> int:
+    """Batch-axis size for an n-device mesh (bins gets n // batch)."""
+    if n in _BATCH_AXIS:
+        return _BATCH_AXIS[n]
+    # fallback: largest power-of-two divisor of n not exceeding sqrt(n)
+    b = 1
+    while (b * 2) ** 2 <= n and n % (b * 2) == 0:
+        b *= 2
+    return b
+
+
 def make_mesh(devices=None, batch_axis: int | None = None) -> Mesh:
     """Build a (batch, bins) mesh over the given/available devices."""
     if devices is None:
         devices = jax.local_devices()
     n = len(devices)
     if batch_axis is None:
-        # prefer splitting both axes when possible
-        batch_axis = 1
-        for cand in (2, 4, 8):
-            if n % cand == 0 and n // cand >= 1 and cand <= n:
-                batch_axis = cand
-                break
-        if n in (2, 4):
-            batch_axis = n // 2 if n > 2 else 1
+        batch_axis = choose_batch_axis(n)
     bins_axis = n // batch_axis
     dev = np.asarray(devices[: batch_axis * bins_axis]).reshape(
         batch_axis, bins_axis

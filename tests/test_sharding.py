@@ -22,6 +22,19 @@ def test_mesh_shapes():
     assert mesh.axis_names == ("batch", "bins")
 
 
+def test_batch_axis_table():
+    from ganon_tpu.parallel.mesh import choose_batch_axis
+
+    expected = {1: 1, 2: 1, 4: 2, 8: 2, 16: 4, 32: 4, 64: 8, 128: 8}
+    for n, b in expected.items():
+        assert choose_batch_axis(n) == b
+        assert n % b == 0
+    # fallback for untabled counts: a divisor, bins >= batch
+    for n in (6, 12, 24, 48, 256):
+        b = choose_batch_axis(n)
+        assert n % b == 0 and b <= n // b
+
+
 def test_sharded_counts_match_single_device():
     ibf = _ibf()
     rng = np.random.default_rng(3)
