@@ -183,3 +183,101 @@ def test_truncated_hibf_raises_cleanly(tmp_path):
         bad.write_bytes(raw[:cut])
         with pytest.raises(ValueError):
             read_raptor_hibf(str(bad))
+
+
+# ---------------------------------------------------------------------------
+# First-principles pinning of the hash family (independent arithmetic).
+#
+# Everything below is derived with plain Python big-int math from the
+# DOCUMENTED formulas — no import from ganon_tpu.ops — so it fails if
+# HASH_SEEDS / GOLDEN / fastrange / adjust_seed / canonical-minimizer
+# semantics ever change, AND it would have failed had they been wrong
+# from day one (hand math, not replay of our own kernels).
+# Formulas: ops/ibf_query.py module docstring (seqan3-style family,
+# GanonBuild.cpp:694 insert / GanonClassify.cpp:514 query);
+# adjust_seed.hpp:33-37; seqan3 minimiser = min(fwd^seed, rc^seed)
+# windowed minimum.
+
+_FP_SEEDS = (  # seqan3 IBF seed constants, written out by hand
+    13572355802537770549,  # 2^64 / (e/2)
+    13043817825332782213,  # 2^64 / sqrt(2)
+    10650232656628343401,  # 2^64 / sqrt(5)
+    16499269484942379435,  # 2^64 / (sqrt(3)/2)
+    4893150838803335377,   # 2^64 / (3/(2*sqrt(e)))
+)
+_FP_GOLDEN = 0x9E3779B97F4A7C15  # 2^64 / golden ratio
+_FP_SEED64 = 0x8F3F73B5CF1C9ADE  # seqan3 default minimiser seed
+
+
+def _fp_minimizer_set(seq: str, k: int, w: int) -> set:
+    """Distinct minimizer values, from first principles (pure ints)."""
+    enc = {"A": 0, "C": 1, "G": 2, "T": 3}
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    seed = _FP_SEED64 >> (64 - 2 * k)
+    canon = []
+    for i in range(len(seq) - k + 1):
+        km = seq[i : i + k]
+        f = 0
+        for c in km:
+            f = f * 4 + enc[c]
+        r = 0
+        for c in reversed(km):
+            r = r * 4 + enc[comp[c]]
+        canon.append(min(f ^ seed, r ^ seed))
+    ww = w - k + 1
+    return {
+        min(canon[i : i + ww]) for i in range(len(canon) - ww + 1)
+    }
+
+
+def _fp_rows(h: int, bin_size: int, n_funs: int) -> set:
+    """Bit-matrix rows for one hash, from first principles."""
+    shift = 64 - bin_size.bit_length()  # clz64(bin_size)
+    rows = set()
+    for i in range(n_funs):
+        g = (h * _FP_SEEDS[i]) % (1 << 64)
+        g = g ^ (g >> shift)
+        g = (g * _FP_GOLDEN) % (1 << 64)
+        rows.add((g * bin_size) >> 64)  # fastrange = mulhi64
+    return rows
+
+
+@pytest.mark.parametrize(
+    "seq,k,w",
+    [
+        ("ACGTAC", 2, 2),        # w == k: every canonical k-mer emits
+        ("ACGTTGCATGCA", 3, 5),  # windowed minimum case
+    ],
+)
+def test_hash_family_first_principles(seq, k, w, tmp_path):
+    from ganon_tpu.index.builder import BuildConfig, run_build
+    from ganon_tpu.index.ibf import IBF
+
+    fa = tmp_path / "t.fa"
+    fa.write_text(f">S\n{seq}\n")
+    info = tmp_path / "info.tsv"
+    info.write_text(f"{fa}\tT0\n")
+    out = str(tmp_path / f"fp_{k}_{w}.ibf")
+    run_build(
+        BuildConfig(
+            input_file=str(info), output_file=out, kmer_size=k,
+            window_size=w, max_fp=0.001,
+        )
+    )
+    ibf = IBF.load(out)
+    cfg = ibf.ibf_config
+
+    mins = _fp_minimizer_set(seq, k, w)
+    assert ibf.hashes_count["T0"] == len(mins)
+    expected_rows = set()
+    for h in mins:
+        expected_rows |= _fp_rows(h, cfg.bin_size_bits, cfg.hash_functions)
+
+    # single target, few hashes -> exactly one technical bin (bin 0);
+    # its column must contain exactly the expected rows
+    [(bin_idx, tgt)] = ibf.bin_map
+    assert (bin_idx, tgt) == (0, "T0")
+    word, bit = bin_idx // 32, bin_idx % 32
+    col = (ibf.bits[:, word] >> np.uint32(bit)) & np.uint32(1)
+    got_rows = set(np.nonzero(col)[0].tolist())
+    assert got_rows == expected_rows
