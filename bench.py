@@ -1,31 +1,52 @@
 """Classification throughput benchmark on one TPU chip — honest regimes.
 
-Two databases (cached under .bench_cache/):
-  * T32: 32 targets x 1 Mbp — the table fits the VMEM-staged regime.
+Architecture (round 4): a PARENT orchestrator (no jax) spawns CHILD
+processes per stage group, each with its own slice of the deadline
+budget. Children print one ``BENCHSTAGE {json}`` line per completed
+stage; the parent folds those into the metric line and RE-EMITS it
+after every stage, so a stall in any stage can never leave the run
+without a number (round-3 post-mortem: a single 478 s cold XLA compile
+ate the whole 480 s budget before the first stage finished and the
+bench exited rc=3 with nothing).
+
+Stage groups (later groups are dropped first when the budget runs out):
+  core32  : kernel_micro, kernel_T32, e2e_T32 (the headline)
+  wide    : kernel_T1024, e2e_T1024
+  extras  : e2e_forest, e2e_hierarchy, e2e_mixedlen, e2e_refdata
+
+Databases (cached under .bench_cache/, keyed by sizing policy + hash
+family digest):
+  * T32:   32 targets x 1 Mbp — VMEM-staged regime.
   * T1024: 1024 targets x 100 kbp — wide-table HBM/u32 regime (the
     realistic RefSeq-subset shape; BASELINE.md north star).
+  * F256:  256 targets, skewed lengths 10-200 kbp — HIBF forest regime
+    (4 size classes; the reference's default filter type is hibf).
+  * T32 halves: 2 x 16 targets — two-level hierarchy regime with
+    leftover requeue (GanonClassify.cpp:1459-1639).
+  * refdata: the reference's bundled real assemblies + sim reads
+    (tests/ganon/data) through the full build-custom + classify path.
 
-Two measurements each:
-  * kernel: the fused device classify step alone (extract + bulk count
-    + aggregation), batched through one lax.scan dispatch.
-  * e2e: the FULL run_classify — fastq parse, dispatch pipeline,
-    thresholds with the reference's Python-tier defaults (rel-cutoff
-    0.75, rel-filter 0.1, fpr-query 1e-5), LCA, .one/.all/.unc output
-    writing.
+kernel = the fused device classify step alone (extract + bulk count +
+aggregation). e2e = the FULL run_classify: fastq parse, dispatch
+pipeline, thresholds at the reference's Python-tier defaults
+(rel-cutoff 0.75, rel-filter 0.1, fpr-query 1e-5), LCA, .one/.all/.unc
+writing.
 
 Baseline: the reference publishes no reads/s figure; its only in-tree
 classify throughput is the documented toy log of 372.3 Mbp/m
 (docs/classification.md:44). vs_baseline is the HEADLINE (end-to-end,
-T32) Mbp/m over that number; the kernel and wide-table numbers ride in
-"extra".
+T32) Mbp/m over that number; everything else rides in "extra".
 
-Prints ONE JSON line:
+Prints ONE JSON line (repeatedly, growing as stages finish; the last
+line is the most complete):
   {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N,
    "extra": {...}}
 """
 
+import hashlib
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -36,27 +57,77 @@ READ_LEN = 150
 BATCH = 8192
 N_BATCHES = 16
 CHUNK = 1 << 18
-CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE_DIR = os.path.join(REPO, ".bench_cache")
 
 BASELINE_MBP_PER_MIN = 372.3  # reference docs/classification.md:44
 
 REGIMES = {
-    # name: (n_targets, genome_len)
-    "T32": (32, 1_000_000),
-    "T1024": (1024, 100_000),
+    # name: (n_targets, genome_len, rng_seed)
+    "T32": (32, 1_000_000, 42),
+    "T1024": (1024, 100_000, 43),
+    "F256": (256, 200_000, 44),  # skewed per-target lengths (forest)
+}
+
+GROUPS = [
+    # (group name, [stage names], weight for budget allocation)
+    ("core32", ["kernel_micro", "kernel_T32", "e2e_T32"], 1.3),
+    ("wide", ["kernel_T1024", "e2e_T1024"], 1.0),
+    ("extras", ["e2e_forest", "e2e_hierarchy", "e2e_mixedlen",
+                "e2e_refdata"], 1.0),
+]
+
+# conservative WARM-cache wall-clock estimates per stage (seconds); a
+# child skips a stage whose estimate does not fit its remaining budget
+# (cold compiles are bounded by the parent's group kill instead)
+STAGE_EST = {
+    "kernel_micro": 25,
+    "kernel_T32": 45,
+    "e2e_T32": 75,
+    "kernel_T1024": 60,
+    "e2e_T1024": 75,
+    "e2e_forest": 75,
+    "e2e_hierarchy": 70,
+    "e2e_mixedlen": 60,
+    "e2e_refdata": 60,
 }
 
 
-def _cache_current(ibf) -> bool:
-    """Does the cached db match what today's sizing policy would build?
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+# --------------------------------------------------------------------------
+# database cache
+
+
+def family_digest() -> str:
+    """Digest of the IBF hash family + sizing-relevant constants: a
+    cached db built under a different family would stay self-consistent
+    (counts still match) so nothing downstream would fail — fold the
+    constants into the cache key instead."""
+    from ganon_tpu.ops.ibf_query import GOLDEN, HASH_SEEDS
+
+    return hashlib.sha256(
+        repr((GOLDEN, HASH_SEEDS, K, W)).encode()
+    ).hexdigest()[:16]
+
+
+def _cache_current(ibf, db_path) -> bool:
+    """Does the cached db match what today's policy would build?
 
     Sizing is cheap (the expensive part is minimizer extraction), so
     re-derive the expected IBFConfig from the cached per-target counts
-    and compare — a stale cache after a sizing-policy change would
-    otherwise silently bench the old configuration.
+    and compare; the hash-family digest rides in a sidecar file.
     """
     from ganon_tpu.index import sizing
 
+    try:
+        with open(db_path + ".family") as f:
+            if f.read().strip() != family_digest():
+                return False
+    except OSError:
+        return False
     cfg = sizing.size_filter(
         ibf.hashes_count, kmer_size=K, window_size=W, max_fp=0.05
     )
@@ -71,83 +142,235 @@ def _cache_current(ibf) -> bool:
     )
 
 
-def _genomes(name, n_targets, genome_len):
-    rng = np.random.default_rng(42)
-    if name != "T32":
-        rng = np.random.default_rng(43)
+def _genomes(name):
+    n_targets, genome_len, seed = REGIMES[name]
+    rng = np.random.default_rng(seed)
     return rng.integers(0, 4, size=(n_targets, genome_len), dtype=np.uint8)
 
 
-def build_database(name):
-    from ganon_tpu.index.ibf import IBF, build_ibf
+def _target_lengths(name):
+    """Per-target usable genome length (F256 is skewed for the forest)."""
+    n_targets, genome_len, _ = REGIMES[name]
+    if name == "F256":
+        return np.geomspace(10_000, genome_len, n_targets).astype(np.int64)
+    return np.full(n_targets, genome_len, dtype=np.int64)
+
+
+def _extract_target_hashes(name):
+    """Sorted distinct minimizers per target, cached as one npz."""
     from ganon_tpu.ops.minimizers import window_mins_jax
 
-    n_targets, genome_len = REGIMES[name]
-    genomes = _genomes(name, n_targets, genome_len)
-    db_path = os.path.join(CACHE_DIR, f"db_{name}.ibf")
-    if os.path.exists(db_path):
+    path = os.path.join(CACHE_DIR, f"hashes_{name}.npz")
+    n_targets, _, _ = REGIMES[name]
+    if os.path.exists(path):
         try:
-            ibf = IBF.load(db_path)
-            if _cache_current(ibf):
-                return genomes, ibf, db_path
-            print(f"cached {name} db stale (sizing changed), rebuilding",
-                  file=sys.stderr)
+            with np.load(path) as z:
+                if bytes(z["family"].tobytes()).decode() == family_digest():
+                    flat, offs = z["flat"], z["offsets"]
+                    return {
+                        f"T{t}": flat[offs[t] : offs[t + 1]]
+                        for t in range(n_targets)
+                    }
         except Exception:
             pass
-
-    # batch pieces from MANY targets per device call (a per-target loop
-    # pays one tunnel round trip per target — minutes at T=1024)
+    genomes = _genomes(name)
+    lens = _target_lengths(name)
     step = CHUNK - (W - 1)
     pieces = [
         (t, s)
         for t in range(n_targets)
-        for s in range(0, genome_len - W + 1, step)
+        for s in range(0, int(lens[t]) - W + 1, step)
     ]
-    width = min(CHUNK, genome_len)
+    width = min(CHUNK, genomes.shape[1])
     group = max(1, (16 << 20) // width)
     parts: dict[int, list] = {t: [] for t in range(n_targets)}
     for i in range(0, len(pieces), group):
         grp = pieces[i : i + group]
         chunks = np.zeros((group, width), dtype=np.uint8)  # fixed shape
-        lens = np.zeros(group, dtype=np.int32)
+        plens = np.zeros(group, dtype=np.int32)
         for j, (t, s) in enumerate(grp):
-            piece = genomes[t, s : s + CHUNK]
+            piece = genomes[t, s : min(s + CHUNK, int(lens[t]))]
             chunks[j, : len(piece)] = piece
-            lens[j] = len(piece)
-        mv, valid = window_mins_jax(chunks, lens, k=K, w=W)
+            plens[j] = len(piece)
+        mv, valid = window_mins_jax(chunks, plens, k=K, w=W)
         mv, valid = np.asarray(mv), np.asarray(valid)
         for j, (t, s) in enumerate(grp):
             parts[t].append(mv[j][valid[j]])
-    target_hashes = {
+    hashes = {
         f"T{t}": np.unique(np.concatenate(v)) for t, v in parts.items() if v
     }
+    flat = np.concatenate([hashes[f"T{t}"] for t in range(n_targets)])
+    offsets = np.zeros(n_targets + 1, dtype=np.int64)
+    for t in range(n_targets):
+        offsets[t + 1] = offsets[t] + len(hashes[f"T{t}"])
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    np.savez(
+        path + ".tmp.npz", flat=flat, offsets=offsets,
+        family=np.frombuffer(family_digest().encode(), dtype=np.uint8),
+    )
+    os.replace(path + ".tmp.npz", path)
+    return hashes
+
+
+def _mark_family(db_path):
+    with open(db_path + ".family", "w") as f:
+        f.write(family_digest())
+
+
+def build_database(name):
+    from ganon_tpu.index.ibf import IBF, build_ibf
+
+    genomes = _genomes(name)
+    db_path = os.path.join(CACHE_DIR, f"db_{name}.ibf")
+    if os.path.exists(db_path):
+        try:
+            ibf = IBF.load(db_path)
+            if _cache_current(ibf, db_path):
+                return genomes, ibf, db_path
+            log(f"cached {name} db stale (policy changed), rebuilding")
+        except Exception:
+            pass
+    target_hashes = _extract_target_hashes(name)
     ibf = build_ibf(target_hashes, kmer_size=K, window_size=W, max_fp=0.05)
     os.makedirs(CACHE_DIR, exist_ok=True)
     ibf.save(db_path)
+    _mark_family(db_path)
     return genomes, ibf, db_path
 
 
-def sample_paired_reads(rng, genomes, n):
+def build_forest_database():
+    """HIBF forest over the skewed F256 regime (4 size classes)."""
+    from ganon_tpu.index.hibf import HIBF, build_hibf
+
+    db_path = os.path.join(CACHE_DIR, "db_F256.hibf")
+    genomes = _genomes("F256")
+    if os.path.exists(db_path):
+        try:
+            with open(db_path + ".family") as f:
+                if f.read().strip() == family_digest():
+                    return genomes, HIBF.load(db_path), db_path
+        except Exception:
+            pass
+    target_hashes = _extract_target_hashes("F256")
+    hibf = build_hibf(
+        target_hashes, kmer_size=K, window_size=W, max_fp=0.05,
+        num_classes=4,
+    )
+    hibf.save(db_path)
+    _mark_family(db_path)
+    return genomes, hibf, db_path
+
+
+def build_hierarchy_databases():
+    """Two 16-target IBFs split from T32 (levels share k/w)."""
+    from ganon_tpu.index.ibf import IBF, build_ibf
+
+    paths = [os.path.join(CACHE_DIR, f"db_T32{h}.ibf") for h in "ab"]
+    if all(os.path.exists(p) for p in paths):
+        try:
+            ok = True
+            for p in paths:
+                with open(p + ".family") as f:
+                    ok &= f.read().strip() == family_digest()
+            if ok:
+                return paths
+        except Exception:
+            pass
+    target_hashes = _extract_target_hashes("T32")
+    halves = [
+        {f"T{t}": target_hashes[f"T{t}"] for t in range(16)},
+        {f"T{t}": target_hashes[f"T{t}"] for t in range(16, 32)},
+    ]
+    for p, th in zip(paths, halves):
+        build_ibf(th, kmer_size=K, window_size=W, max_fp=0.05).save(p)
+        _mark_family(p)
+    return paths
+
+
+# --------------------------------------------------------------------------
+# read generation
+
+
+def sample_paired_reads(rng, genomes, n, lens=None):
     n_targets, genome_len = genomes.shape
     tgt = rng.integers(0, n_targets, size=n)
-    pos1 = rng.integers(0, genome_len - READ_LEN, size=n)
-    pos2 = rng.integers(0, genome_len - READ_LEN, size=n)
+    hi = (
+        np.full(n, genome_len - READ_LEN)
+        if lens is None
+        else (lens[tgt] - READ_LEN)
+    )
+    pos1 = rng.integers(0, hi)
+    pos2 = rng.integers(0, hi)
     idx = np.arange(READ_LEN)
     r1 = genomes[tgt[:, None], pos1[:, None] + idx]
-    r2 = 3 - genomes[tgt[:, None], pos2[:, None] + idx][:, ::-1]  # revcomp mate
+    r2 = 3 - genomes[tgt[:, None], pos2[:, None] + idx][:, ::-1]  # revcomp
     lengths = np.full(n, READ_LEN, dtype=np.int32)
     return r1.astype(np.uint8), r2.astype(np.uint8), lengths
 
 
-def bench_kernel(name, genomes, ibf):
+def _reads_fastq(name, genomes, n, lens=None):
+    """Paired fastq on disk for the e2e runs (cached)."""
+    base = np.frombuffer(b"ACGT", dtype=np.uint8)
+    qual = b"I" * READ_LEN
+    paths = [os.path.join(CACHE_DIR, f"reads_{name}.{m}.fq") for m in (1, 2)]
+    if all(
+        os.path.exists(p) and os.path.getsize(p) >= n * (READ_LEN + 8)
+        for p in paths
+    ):
+        return paths
+    rng = np.random.default_rng(7)
+    r1, r2, _ = sample_paired_reads(rng, genomes, n, lens=lens)
+    for p, r in zip(paths, (r1, r2)):
+        chars = base[r]
+        with open(p, "wb") as f:
+            for i in range(n):
+                f.write(b"@q%d\n%s\n+\n%s\n" % (i, chars[i].tobytes(), qual))
+    return paths
+
+
+def _mixedlen_fastq(genomes, n):
+    """Single-end nanopore-style discrete length mix vs T32 (cached).
+
+    Discrete classes, not a continuous log-normal: each distinct length
+    bucket is one compiled program — fine locally, minutes each through
+    the tunnel (scripts/mixedlen_bench.py measured both).
+    """
+    path = os.path.join(CACHE_DIR, "reads_mixedlen.fq")
+    meta = os.path.join(CACHE_DIR, "reads_mixedlen.json")
+    if os.path.exists(path) and os.path.exists(meta):
+        with open(meta) as f:
+            return path, json.load(f)["total_bp"]
+    rng = np.random.default_rng(11)
+    classes = np.array([500, 1000, 2000, 4000, 8000, 16000])
+    weights = np.array([0.15, 0.2, 0.3, 0.2, 0.1, 0.05])
+    lens = rng.choice(classes, size=n, p=weights / weights.sum())
+    base = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n_targets, genome_len = genomes.shape
+    total_bp = int(lens.sum())
+    with open(path + ".tmp", "wb") as f:
+        for i in range(n):
+            ln = int(lens[i])
+            t = rng.integers(0, n_targets)
+            s = rng.integers(0, genome_len - ln)
+            seq = base[genomes[t, s : s + ln]].tobytes()
+            f.write(b"@q%d\n%s\n+\n%s\n" % (i, seq, b"I" * ln))
+    os.replace(path + ".tmp", path)
+    with open(meta, "w") as f:
+        json.dump({"total_bp": total_bp, "n": n}, f)
+    return path, total_bp
+
+
+# --------------------------------------------------------------------------
+# measurement helpers
+
+
+def _time_kernel(genomes, ibf, batch, n_batches, lens=None):
     """Fused device kernel throughput (reads/s).
 
-    Dispatches N_BATCHES fused batches asynchronously (each folds its
-    outputs to one scalar on device) and blocks once at the end — the
-    same device work as a lax.scan mega-program, but each program stays
-    the production per-batch dispatch, so the compile is the same one
-    the engine uses and the (tunneled) runtime never has to execute a
-    single monolithic multi-hundred-MB-input program.
+    Dispatches batches asynchronously (each folds its outputs to one
+    scalar on device) and blocks once at the end — the same device work
+    as a lax.scan mega-program, but each program stays the production
+    per-batch dispatch, so the compile is the one the engine uses.
     """
     import jax
     import jax.numpy as jnp
@@ -176,85 +399,290 @@ def bench_kernel(name, genomes, ibf):
         return c.sum(dtype=jnp.int64) + n.sum(dtype=jnp.int64)
 
     rng = np.random.default_rng(7)
-    print(f"[{name}] staging reads on device...", file=sys.stderr)
     batches = []
-    for i in range(N_BATCHES):
-        r1, r2, ln = sample_paired_reads(rng, genomes, BATCH)
-        batches.append(
-            (jnp.asarray(r1), jnp.asarray(r2), jnp.asarray(ln))
-        )
+    for _ in range(n_batches):
+        r1, r2, ln = sample_paired_reads(rng, genomes, batch, lens=lens)
+        batches.append((jnp.asarray(r1), jnp.asarray(r2), jnp.asarray(ln)))
     jax.block_until_ready(batches)
-    print(f"[{name}] staged; compiling kernel...", file=sys.stderr)
     b1, b2, bl = batches[0]
     int(step(tbl8, bstarts, bends, b1, b2, bl))  # compile + fence
-    print(f"[{name}] kernel compiled; timing...", file=sys.stderr)
     # tunnel throughput varies run to run; report the best of 3 passes
     elapsed = float("inf")
     for _ in range(3):
         t0 = time.time()
         totals = [
-            step(tbl8, bstarts, bends, b1, b2, bl)
-            for b1, b2, bl in batches
+            step(tbl8, bstarts, bends, b1, b2, bl) for b1, b2, bl in batches
         ]
         jax.block_until_ready(totals)
         int(totals[-1])  # fence through the tunnel
         elapsed = min(elapsed, time.time() - t0)
-    total_reads = BATCH * N_BATCHES
-    return total_reads / elapsed
+    return batch * n_batches / elapsed
 
 
-def _reads_fastq(name, genomes, n):
-    """Paired fastq on disk for the e2e run (cached)."""
-    base = np.frombuffer(b"ACGT", dtype=np.uint8)
-    qual = b"I" * READ_LEN
-    paths = [os.path.join(CACHE_DIR, f"reads_{name}.{m}.fq") for m in (1, 2)]
-    if all(
-        os.path.exists(p)
-        and os.path.getsize(p) >= n * (READ_LEN + 8) for p in paths
-    ):
-        return paths
-    rng = np.random.default_rng(7)
-    r1, r2, _ = sample_paired_reads(rng, genomes, n)
-    for p, r in zip(paths, (r1, r2)):
-        chars = base[r]
-        with open(p, "wb") as f:
-            for i in range(n):
-                f.write(b"@q%d\n%s\n+\n%s\n" % (i, chars[i].tobytes(), qual))
-    return paths
-
-
-def bench_e2e(name, genomes, db_path, n_reads):
-    """Full run_classify throughput (reads/s) with default thresholds
-    and .one/.all/.unc writing — the number a user actually gets."""
+def _time_e2e(kw, n_reads, timed_passes=2):
+    """Full run_classify throughput (reads/s) — what a user gets."""
     from ganon_tpu.classify.engine import ClassifyConfig, run_classify
 
-    f1, f2 = _reads_fastq(name, genomes, n_reads)
-    out = os.path.join(CACHE_DIR, f"e2e_{name}")
-    kw = dict(
-        ibf=[db_path], paired_reads=[f1, f2], output_prefix=out,
-        rel_cutoff=[0.75], rel_filter=[0.1], fpr_query=[1e-5],
-        output_all=True, output_lca=True, output_unclassified=True,
-        quiet=True,
-    )
-    print(f"[{name}] e2e warmup (compiles)...", file=sys.stderr)
-    run_classify(ClassifyConfig(**kw))  # warmup (compile)
-    print(f"[{name}] e2e timing...", file=sys.stderr)
+    run_classify(ClassifyConfig(**kw))  # warmup (compiles)
     elapsed = float("inf")
-    for _ in range(2):
+    for _ in range(timed_passes):
         t0 = time.time()
         run_classify(ClassifyConfig(**kw))
         elapsed = min(elapsed, time.time() - t0)
     return n_reads / elapsed
 
 
+def _e2e_kw(db_paths, fq_pair, out_tag, **over):
+    kw = dict(
+        ibf=list(db_paths),
+        output_prefix=os.path.join(CACHE_DIR, out_tag),
+        rel_cutoff=[0.75], rel_filter=[0.1], fpr_query=[1e-5],
+        output_all=True, output_lca=True, output_unclassified=True,
+        quiet=True,
+    )
+    if len(fq_pair) == 2:
+        kw["paired_reads"] = list(fq_pair)
+    else:
+        kw["single_reads"] = list(fq_pair)
+    kw.update(over)
+    return kw
+
+
+# --------------------------------------------------------------------------
+# stages (each returns {metric_key: value} merged into extra)
+
+
+def st_kernel_micro():
+    """Tiny insurance number: 4 targets x 50 kbp, 2 x 1024 reads.
+
+    Completes in seconds warm; its only job is to guarantee the metric
+    line is never empty even if every later stage stalls."""
+    from ganon_tpu.index.ibf import IBF, build_ibf
+
+    db_path = os.path.join(CACHE_DIR, "db_micro.ibf")
+    rng = np.random.default_rng(5)
+    genomes = rng.integers(0, 4, size=(4, 50_000), dtype=np.uint8)
+    ibf = None
+    if os.path.exists(db_path):
+        try:
+            ibf = IBF.load(db_path)
+            if not _cache_current(ibf, db_path):
+                ibf = None
+        except Exception:
+            ibf = None
+    if ibf is None:
+        from ganon_tpu.ops.minimizers import window_mins_jax
+
+        lens = np.full(4, 50_000, dtype=np.int32)
+        mv, valid = window_mins_jax(genomes, lens, k=K, w=W)
+        mv, valid = np.asarray(mv), np.asarray(valid)
+        th = {f"T{t}": np.unique(mv[t][valid[t]]) for t in range(4)}
+        ibf = build_ibf(th, kmer_size=K, window_size=W, max_fp=0.05)
+        ibf.save(db_path)
+        _mark_family(db_path)
+    v = _time_kernel(genomes, ibf, batch=1024, n_batches=2)
+    return {"kernel_micro": round(v, 1)}
+
+
+def st_kernel_T32():
+    genomes, ibf, _ = build_database("T32")
+    return {"kernel_T32": round(_time_kernel(genomes, ibf, BATCH, N_BATCHES), 1)}
+
+
+def st_e2e_T32():
+    n = 131072
+    genomes, _, db = build_database("T32")
+    fq = _reads_fastq("T32", genomes, n)
+    v = _time_e2e(_e2e_kw([db], fq, "e2e_T32"), n)
+    return {"e2e_T32": round(v, 1)}
+
+
+def st_kernel_T1024():
+    genomes, ibf, _ = build_database("T1024")
+    return {
+        "kernel_T1024": round(_time_kernel(genomes, ibf, BATCH, N_BATCHES), 1)
+    }
+
+
+def st_e2e_T1024():
+    n = 65536
+    genomes, _, db = build_database("T1024")
+    fq = _reads_fastq("T1024", genomes, n)
+    v = _time_e2e(_e2e_kw([db], fq, "e2e_T1024"), n)
+    return {"e2e_T1024": round(v, 1)}
+
+
+def st_e2e_forest():
+    """HIBF forest db (4 size classes) through the forest fast path —
+    the reference's default filter type is hibf (config.py:179)."""
+    n = 65536
+    genomes, _, db = build_forest_database()
+    lens = _target_lengths("F256")
+    fq = _reads_fastq("F256", genomes, n, lens=lens)
+    v = _time_e2e(_e2e_kw([db], fq, "e2e_forest"), n)
+    return {"e2e_forest": round(v, 1)}
+
+
+def st_e2e_hierarchy():
+    """Two-level hierarchy with leftover requeue: reads span both halves
+    of T32, so ~half fall through level 1 and requeue to level 2
+    (GanonClassify.cpp:1459-1639)."""
+    n = 65536
+    genomes, _, _ = build_database("T32")
+    dbs = build_hierarchy_databases()
+    fq = _reads_fastq("T32", genomes, n)
+    kw = _e2e_kw(
+        dbs, fq, "e2e_hier",
+        hierarchy_labels=["1_first", "2_second"],
+        rel_cutoff=[0.75, 0.75],
+        rel_filter=[0.1, 0.1], fpr_query=[1e-5, 1e-5],
+    )
+    v = _time_e2e(kw, n)
+    return {"e2e_hierarchy": round(v, 1)}
+
+
+def st_e2e_mixedlen():
+    """Nanopore-style mixed-length single-end reads vs T32 with length
+    bucketing (the 2-regime claim, driver-visible)."""
+    n = 16384
+    genomes, _, db = build_database("T32")
+    fq, total_bp = _mixedlen_fastq(genomes, n)
+    kw = _e2e_kw([db], [fq], "e2e_mixedlen")
+    reads_per_sec = _time_e2e(kw, n)
+    mbp_per_min = reads_per_sec / n * total_bp / 1e6 * 60
+    return {
+        "e2e_mixedlen": round(reads_per_sec, 1),
+        "e2e_mixedlen_mbp_per_min": round(mbp_per_min, 1),
+    }
+
+
+def st_e2e_refdata():
+    """The reference's bundled real assemblies + sim reads through the
+    full build-custom + classify path (BASELINE.md north star data; the
+    CPU side runs via scripts/diff_reference.py --time when reference
+    binaries are available)."""
+    import gzip
+
+    data = "/root/reference/tests/ganon/data"
+    if not os.path.isdir(data):
+        log("refdata: reference test data not mounted, skipping")
+        return {}
+    db = os.path.join(CACHE_DIR, "refdata", "db")
+    os.makedirs(os.path.dirname(db), exist_ok=True)
+    if not os.path.exists(db + ".ibf"):
+        from ganon_tpu.cli import main as ganon_main
+        from ganon_tpu.config import Config
+
+        ok = ganon_main(
+            cfg=Config(
+                "build-custom",
+                db_prefix=db,
+                input=[os.path.join(data, "build-custom/files")],
+                input_extension="fna.gz",
+                taxonomy="ncbi",
+                taxonomy_files=[
+                    os.path.join(data, "build-custom/taxdump.tar.gz")
+                ],
+                ncbi_file_info=[
+                    os.path.join(data, "build-custom/assembly_summary.txt")
+                ],
+                genome_size_files=[
+                    os.path.join(
+                        data, "build-custom/species_genome_size.txt.gz"
+                    )
+                ],
+                quiet=True,
+            )
+        )
+        if not ok:
+            log("refdata: build-custom failed, skipping")
+            return {}
+    # replicate the 98 sim pairs x256 so the number measures throughput,
+    # not per-run latency (the raw pair is byte-tested in
+    # tests/test_reference_data.py)
+    reps = 256
+    fqs = []
+    for m in (1, 2):
+        src = os.path.join(data, f"classify/sim.{m}.fq.gz")
+        dst = os.path.join(CACHE_DIR, f"refdata_sim.{m}.fq")
+        if not os.path.exists(dst):
+            with gzip.open(src, "rb") as f:
+                payload = f.read()
+            with open(dst + ".tmp", "wb") as f:
+                for _ in range(reps):
+                    f.write(payload)
+            os.replace(dst + ".tmp", dst)
+        fqs.append(dst)
+    n = (sum(1 for _ in open(fqs[0], "rb")) // 4)
+    kw = _e2e_kw(
+        [db + ".ibf"], fqs, "e2e_refdata",
+        tax=[db + ".tax"], rel_cutoff=[0.25],
+    )
+    v = _time_e2e(kw, n)
+    return {"e2e_refdata": round(v, 1)}
+
+
+STAGES = {
+    "kernel_micro": st_kernel_micro,
+    "kernel_T32": st_kernel_T32,
+    "e2e_T32": st_e2e_T32,
+    "kernel_T1024": st_kernel_T1024,
+    "e2e_T1024": st_e2e_T1024,
+    "e2e_forest": st_e2e_forest,
+    "e2e_hierarchy": st_e2e_hierarchy,
+    "e2e_mixedlen": st_e2e_mixedlen,
+    "e2e_refdata": st_e2e_refdata,
+}
+
+
+# --------------------------------------------------------------------------
+# child: run stages in-process, print BENCHSTAGE lines
+
+
+def child_main(stage_names, deadline_at):
+    import jax
+
+    from ganon_tpu.index.device_build import enable_compile_cache
+
+    enable_compile_cache()
+    log(f"child device: {jax.devices()[0]}")
+    for name in stage_names:
+        remaining = deadline_at - time.time() if deadline_at else float("inf")
+        est = STAGE_EST.get(name, 60)
+        if remaining < est:
+            log(f"[{name}] skipped: {remaining:.0f}s left < ~{est}s needed")
+            continue
+        t0 = time.time()
+        try:
+            result = STAGES[name]()
+        except Exception as e:
+            log(f"[{name}] FAILED: {e!r}")
+            continue
+        log(f"[{name}] done in {time.time() - t0:.1f}s: {result}")
+        if result:
+            print("BENCHSTAGE " + json.dumps(result), flush=True)
+    # skip slow teardown of tunneled device state
+    os._exit(0)
+
+
+# --------------------------------------------------------------------------
+# parent: orchestrate groups under the deadline, emit incrementally
+
+
 def _emit(extra):
-    """Print THE one JSON line from whatever was measured so far.
+    """Print THE metric line from whatever has been measured so far.
 
     Headline: END-TO-END throughput in the easy regime (what a user
-    gets, not just the kernel); wide-table and kernel numbers ride in
-    extra. Falls back to the kernel number if e2e never completed.
+    gets, not just the kernel). Falls back to the kernel number, then
+    to 0.0 (a visible failure that still parses — never rc!=0 with no
+    line; reference stats always print, GanonClassify.cpp:1091-1128).
     """
-    e2e32 = extra.get("e2e_T32") or extra.get("kernel_T32") or 0.0
+    e2e32 = (
+        extra.get("e2e_T32")
+        or extra.get("kernel_T32")
+        or extra.get("kernel_micro")
+        or 0.0
+    )
     mbp_per_min = e2e32 * 2 * READ_LEN / 1e6 * 60
     print(
         json.dumps(
@@ -270,70 +698,92 @@ def _emit(extra):
     )
 
 
-def main():
-    import threading
-
-    import jax
-
-    from ganon_tpu.index.device_build import enable_compile_cache
-
-    enable_compile_cache()
-    dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
-    extra = {}
-
-    # the tunneled device intermittently stalls whole programs for many
-    # minutes; emit whatever has been measured rather than hanging the
-    # driver (GANON_BENCH_DEADLINE seconds, 0 disables)
+def parent_main():
     deadline = float(os.environ.get("GANON_BENCH_DEADLINE", "480"))
-    if deadline:
-        def _watchdog():
-            print(f"bench watchdog fired after {deadline:.0f}s; emitting "
-                  f"partial results {sorted(extra)}", file=sys.stderr)
-            if not extra:
-                # a zero-value "success" would be worse than a failure
-                print("no metric completed (device stall?)", file=sys.stderr)
-                os._exit(3)
-            _emit(extra)
-            os._exit(0)
+    t_start = time.time()
+    reserve = 15.0  # parent overhead + final emit
+    only = os.environ.get("GANON_BENCH_STAGES")
+    os.environ.setdefault(
+        "GANON_TPU_XLA_CACHE", os.path.join(CACHE_DIR, "xla")
+    )
+    extra: dict = {}
+    _emit(extra)  # a parseable line exists from second 0
 
-        t = threading.Timer(deadline, _watchdog)
-        t.daemon = True
+    groups = GROUPS
+    if only:
+        wanted = [s.strip() for s in only.split(",") if s.strip()]
+        groups = [("custom", wanted, 1.0)]
+
+    weights = [w for _, _, w in groups]
+    for gi, (gname, stages, w) in enumerate(groups):
+        if deadline:
+            remaining = deadline - (time.time() - t_start) - reserve
+            if remaining <= 20:
+                log(f"group {gname} skipped: {remaining:.0f}s left")
+                continue
+            budget = remaining * w / sum(weights[gi:])
+        else:
+            budget = None
+        deadline_at = time.time() + budget if budget else 0
+        log(
+            f"=== group {gname}: {stages} "
+            f"(budget {budget and round(budget)}s)"
+        )
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--child", ",".join(stages), str(deadline_at),
+        ]
+        try:
+            proc = subprocess.Popen(
+                cmd, stdout=subprocess.PIPE, stderr=sys.stderr,
+                text=True, start_new_session=True, cwd=REPO,
+            )
+        except Exception as e:
+            log(f"group {gname} spawn failed: {e!r}")
+            continue
+
+        import threading
+
+        def pump(p=proc):
+            for line in p.stdout:
+                line = line.strip()
+                if line.startswith("BENCHSTAGE "):
+                    try:
+                        extra.update(json.loads(line[len("BENCHSTAGE "):]))
+                    except Exception:
+                        continue
+                    _emit(extra)
+
+        t = threading.Thread(target=pump, daemon=True)
         t.start()
-
-    t0 = time.time()
-    genomes32, ibf32, db32 = build_database("T32")
-    print(f"T32 db ready in {time.time() - t0:.1f}s: {ibf32.ibf_config}",
-          file=sys.stderr)
-    # e2e first: its programs are the engine's own (most likely cached)
-    e2e32 = bench_e2e("T32", genomes32, db32, 131072)
-    extra["e2e_T32"] = round(e2e32, 1)
-    print(f"e2e T32: {e2e32:,.0f} reads/s", file=sys.stderr)
-    extra["kernel_T32"] = round(bench_kernel("T32", genomes32, ibf32), 1)
-    print(f"kernel T32: {extra['kernel_T32']:,.0f} reads/s", file=sys.stderr)
-
-    try:
-        t0 = time.time()
-        genomes1k, ibf1k, db1k = build_database("T1024")
-        print(
-            f"T1024 db ready in {time.time() - t0:.1f}s: {ibf1k.ibf_config}",
-            file=sys.stderr,
-        )
-        extra["e2e_T1024"] = round(
-            bench_e2e("T1024", genomes1k, db1k, 65536), 1
-        )
-        print(f"e2e T1024: {extra['e2e_T1024']:,.0f} reads/s",
-              file=sys.stderr)
-        extra["kernel_T1024"] = round(
-            bench_kernel("T1024", genomes1k, ibf1k), 1
-        )
-        print(f"kernel T1024: {extra['kernel_T1024']:,.0f} reads/s",
-              file=sys.stderr)
-    except Exception as e:  # wide regime must not sink the whole bench
-        print(f"wide-table bench failed: {e!r}", file=sys.stderr)
+        try:
+            proc.wait(timeout=(budget + 20) if budget else None)
+        except subprocess.TimeoutExpired:
+            log(f"group {gname} over budget; killing")
+            try:
+                os.killpg(proc.pid, 9)
+            except Exception:
+                proc.kill()
+            proc.wait()
+        t.join(timeout=5)
 
     _emit(extra)
-    os._exit(0)  # bypass slow teardown of tunneled device state
+    sys.exit(0)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        stages = [s for s in sys.argv[2].split(",") if s in STAGES]
+        deadline_at = float(sys.argv[3]) if len(sys.argv) > 3 else 0
+        child_main(stages, deadline_at)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--inproc":
+        # debugging: all stages in this process, no budget
+        extra = {}
+        for name, fn in STAGES.items():
+            extra.update(fn())
+            _emit(extra)
+    else:
+        parent_main()
 
 
 if __name__ == "__main__":

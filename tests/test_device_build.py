@@ -237,3 +237,43 @@ def test_scatter_mesh_identical_to_single_device():
 
     sharded2, _ = run(make_mesh(jax.devices()))
     assert np.array_equal(single, sharded2)
+
+
+def test_count_pass_multidevice_identical_to_single(monkeypatch):
+    """Group-parallel counting (close groups round-robin over all 8
+    virtual devices) must be bit-identical to the single-device pipeline
+    — counts AND scattered bits (GanonBuild.cpp:655-698 bin-parallel
+    build analogue). CLOSE_ROWS is shrunk so several groups form."""
+    import jax
+
+    from ganon_tpu.index import device_build
+
+    monkeypatch.setattr(device_build, "CLOSE_ROWS", 4)
+    rng = np.random.default_rng(23)
+    seq_files = _mkinput(rng, n_targets=5, files_per_target=2,
+                         seqs_per_file=2, seq_len=3000)
+
+    def run(devs):
+        pipe = DeviceBuildPipeline(K, W, devices=devs)
+        try:
+            for target, files in seq_files.items():
+                for fi, seqs in enumerate(files):
+                    for s in seqs:
+                        enc, _ = encode_seqs([s], max_len=len(s))
+                        pipe.add_sequence((target, fi), enc[0])
+            pipe.finish_counts()
+            hashes_count = {
+                t: c for t, c in pipe.hashes_count().items() if c
+            }
+            icfg = sizing.size_filter(
+                hashes_count, kmer_size=K, window_size=W, max_fp=0.05
+            )
+            return hashes_count, pipe.scatter(icfg)
+        finally:
+            pipe.close()
+
+    assert len(jax.devices()) == 8
+    h1, b1 = run([jax.devices()[0]])
+    h8, b8 = run(list(jax.devices()))
+    assert h1 == h8
+    assert np.array_equal(b1, b8)
