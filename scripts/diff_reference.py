@@ -15,6 +15,14 @@ invokes it automatically whenever the binaries appear on PATH and skips
 otherwise. Exit 0 = all comparisons equal.
 
 Usage: python scripts/diff_reference.py [workdir]
+       python scripts/diff_reference.py --time [threads] [workdir]
+
+`--time` is the CPU-baseline scaffold (BASELINE.md north star): it
+builds a db from the reference's bundled real assemblies with the
+reference `ganon-build`, then times reference `ganon-classify`
+(default 24 threads) on the same x256-replicated sim reads that
+`bench.py` measures as `extra.e2e_refdata` — making the
+TPU-vs-24-thread-CPU comparison one command the day binaries exist.
 """
 
 import os
@@ -135,5 +143,69 @@ def main(workdir="/tmp/diff_reference"):
     print("all cross-comparisons equal")
 
 
+def main_time(threads="24", workdir="/tmp/diff_reference_time"):
+    """CPU-ganon reads/s on the bench's refdata input (see module doc)."""
+    import glob
+    import gzip
+    import time
+
+    if not have_binaries():
+        sys.exit("reference binaries not on PATH; nothing to time")
+    data = "/root/reference/tests/ganon/data"
+    os.makedirs(workdir, exist_ok=True)
+
+    # db from the bundled real assemblies (reference builder)
+    ti = os.path.join(workdir, "target_info.tsv")
+    with open(ti, "w") as f:
+        for p in sorted(
+            glob.glob(os.path.join(data, "build-custom/files/*.fna.gz"))
+        ):
+            t = os.path.basename(p).split("_genomic")[0]
+            f.write(f"{p}\t{t}\n")
+    db = os.path.join(workdir, "refdata.ibf")
+    if not os.path.exists(db):
+        _run(["ganon-build", "--input-file", ti, "--output-file", db,
+              "--kmer-size", str(K), "--window-size", str(W),
+              "--max-fp", "0.05", "--threads", threads])
+
+    # the same x256-replicated sim reads bench.py times (reuse the
+    # bench cache when present)
+    cache = os.path.join(os.path.dirname(__file__), "..", ".bench_cache")
+    fqs = []
+    for m in (1, 2):
+        dst = os.path.join(cache, f"refdata_sim.{m}.fq")
+        if not os.path.exists(dst):
+            dst = os.path.join(workdir, f"refdata_sim.{m}.fq")
+            if not os.path.exists(dst):
+                with gzip.open(
+                    os.path.join(data, f"classify/sim.{m}.fq.gz"), "rb"
+                ) as f:
+                    payload = f.read()
+                with open(dst, "wb") as f:
+                    for _ in range(256):
+                        f.write(payload)
+        fqs.append(dst)
+    n_reads = sum(1 for _ in open(fqs[0], "rb")) // 4
+
+    out = os.path.join(workdir, "cpu")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _run([
+            "ganon-classify", "--paired-reads", fqs[0], fqs[1],
+            "--ibf", db, "--output-prefix", out,
+            "--rel-cutoff", "0.25", "--threads", threads,
+        ])
+        best = min(best, time.time() - t0)
+    print(
+        f"cpu ganon-classify ({threads} threads): "
+        f"{n_reads / best:,.0f} reads/s ({n_reads} reads, best of 3; "
+        f"compare extra.e2e_refdata in BENCH_r*.json)"
+    )
+
+
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    if len(sys.argv) > 1 and sys.argv[1] == "--time":
+        main_time(*sys.argv[2:])
+    else:
+        main(*sys.argv[1:])
