@@ -32,6 +32,7 @@ from ganon_tpu.io.pipeline import (
     ThreadedBatchSource,
     bucketed_batches,
     encoded_batches,
+    strided_batches,
 )
 
 
@@ -79,6 +80,10 @@ class ClassifyConfig:
     device_thresholding: bool = True  # on-device cutoff/filter + top-K
     top_k_matches: int = 128  # compact output width (falls back if exceeded)
     use_mesh: bool = True  # shard over all devices when more than one
+    # record-range sharding: keep records with index % stride == offset
+    # (multi-host runs on fewer files than hosts; multihost.shard_reads)
+    read_stride: int = 1
+    read_offset: int = 0
     quiet: bool = True
     verbose: bool = False
 
@@ -494,6 +499,10 @@ def run_classify(cfg: ClassifyConfig) -> dict:
                 # inputs are regrouped by length bucket so one long read
                 # does not pad a whole batch (io.pipeline.bucketed_batches)
                 stream = produce()
+                if cfg.read_stride > 1:
+                    stream = strided_batches(
+                        stream, cfg.read_stride, cfg.read_offset
+                    )
                 if cfg.length_bucketing:
                     stream = bucketed_batches(stream, cfg.n_reads)
                 for b in ThreadedBatchSource(stream):

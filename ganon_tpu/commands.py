@@ -30,12 +30,14 @@ def classify(cfg) -> bool:
     pidx, pcount = multihost.maybe_initialize(
         force=getattr(cfg, "distributed", False)
     )
+    read_stride, read_offset = 1, 0
     if pcount > 1:
-        cfg.single_reads, cfg.paired_reads, cfg.batch_reads = (
-            multihost.shard_reads(
-                cfg.single_reads, cfg.paired_reads, cfg.batch_reads,
-                pidx, pcount,
-            )
+        (
+            cfg.single_reads, cfg.paired_reads, cfg.batch_reads,
+            read_stride, read_offset,
+        ) = multihost.shard_reads(
+            cfg.single_reads, cfg.paired_reads, cfg.batch_reads,
+            pidx, pcount,
         )
         cfg.output_prefix = multihost.host_output_prefix(
             cfg.output_prefix, pidx, pcount
@@ -45,6 +47,12 @@ def classify(cfg) -> bool:
                 f"host {pidx}: no input files in this shard", cfg.quiet
             )
             return True
+        if read_stride > 1:
+            print_log(
+                f"host {pidx}: record-range shard {read_offset}/"
+                f"{read_stride} of {len(cfg.single_reads)} single + "
+                f"{len(cfg.paired_reads) // 2} paired files", cfg.quiet
+            )
 
     filter_files = []
     tax_files = []
@@ -84,6 +92,8 @@ def classify(cfg) -> bool:
         top_k_matches=getattr(cfg, "top_k_matches", 128),
         length_bucketing=not getattr(cfg, "no_length_bucketing", False),
         hashes_limit=(1 << 32) - 1 if getattr(cfg, "longreads", False) else 65535,
+        read_stride=read_stride,
+        read_offset=read_offset,
         quiet=cfg.quiet,
         verbose=cfg.verbose,
     )

@@ -157,6 +157,28 @@ def encoded_batches(file1, file2, prefix, n_reads, use_native=True):
     yield from _python_batches(file1, file2, prefix, n_reads)
 
 
+def strided_batches(source, stride: int, offset: int):
+    """Keep records where ``global_record_index % stride == offset``.
+
+    Record-range sharding for multi-host runs on fewer files than hosts
+    (parallel/multihost.shard_reads): every host streams the same files
+    in the same order, so a global running record counter gives each
+    host a disjoint, exhaustive stripe — reader-agnostic (applies after
+    either the native or the Python parser).
+    """
+    pos = 0
+    for batch in source:
+        n = len(batch)
+        if not n:
+            continue
+        idx = np.arange(pos, pos + n)
+        pos += n
+        keep = np.nonzero(idx % stride == offset)[0]
+        if not len(keep):
+            continue
+        yield batch if len(keep) == n else batch.select(keep)
+
+
 def bucketed_batches(source, n_reads: int, max_bucket_bytes: int = 64 << 20):
     """Regroup a batch stream by read-length bucket before padding.
 

@@ -58,25 +58,41 @@ def maybe_initialize(force: bool = False) -> tuple[int, int]:
 
 def shard_reads(single, paired, batch, process_index: int,
                 process_count: int):
-    """Partition read inputs across hosts (file-level, round-robin).
+    """Partition read inputs across hosts.
 
     ``paired`` is a flat [r1a, r2a, r1b, r2b, ...] list — pairs stay
-    together. Returns (single, paired, batch) shards for this host; a
-    host can receive empty shards when files < hosts.
+    together. Returns ``(single, paired, batch, stride, offset)``:
+
+    * enough file units (>= hosts): file-level round-robin, stride 1 —
+      the reference's --batch-reads shape (GanonClassify.cpp:289-351);
+    * fewer units than hosts (e.g. ONE big fastq on a pod): every host
+      keeps ALL files and instead takes records where
+      ``record_index % stride == offset`` (record-range sharding —
+      the engine applies the stripe reader-agnostically via
+      io.pipeline.strided_batches), so no host sits idle.
     """
     if process_count <= 1:
-        return single, paired, batch
-
-    def pick(items):
-        return [f for i, f in enumerate(items)
-                if i % process_count == process_index]
+        return single, paired, batch, 1, 0
 
     pairs = [tuple(paired[i : i + 2]) for i in range(0, len(paired), 2)]
-    my_pairs = pick(pairs)
+    units = (
+        [("s", f) for f in single]
+        + [("p", p) for p in pairs]
+        + [("b", f) for f in batch]
+    )
+    if len(units) < process_count:
+        return single, paired, batch, process_count, process_index
+
+    # one round-robin over ALL units (not per kind) so every host gets
+    # a unit whenever units >= hosts
+    mine = [u for i, u in enumerate(units)
+            if i % process_count == process_index]
     return (
-        pick(single),
-        [f for p in my_pairs for f in p],
-        pick(batch),
+        [f for k, f in mine if k == "s"],
+        [f for k, p in mine if k == "p" for f in p],
+        [f for k, f in mine if k == "b"],
+        1,
+        0,
     )
 
 
