@@ -50,7 +50,7 @@ ASSEMBLY_SUMMARY_COLS = [
 
 HISTORY_COLS = [
     "version", "source", "organism_group", "taxid", "complete_genomes",
-    "reference_genomes", "top", "gtdb",
+    "reference_genomes", "top", "gtdb", "assembly_levels",
 ]
 
 
@@ -243,6 +243,7 @@ def select_assemblies(
     reference_genomes=False,
     top=0,
     gtdb=False,
+    assembly_levels=(),
     workdir=".",
     quiet=True,
 ) -> pd.DataFrame:
@@ -253,6 +254,15 @@ def select_assemblies(
         summary = _filter_taxids(summary, taxids, workdir, quiet)
     if complete_genomes:
         summary = summary[summary["assembly_level"] == "Complete Genome"]
+    if assembly_levels:
+        # genome_updater -l accepts a level list ("complete genome,
+        # chromosome,..."); ganon itself only drives 'complete genome'
+        # (build_update.py:77) but the tool supports the full set
+        summary = summary[
+            summary["assembly_level"].str.lower().isin(
+                {lv.lower() for lv in assembly_levels}
+            )
+        ]
     if reference_genomes:
         summary = summary[summary["refseq_category"] == "reference genome"]
     if gtdb:
@@ -342,6 +352,7 @@ def acquire(
     reference_genomes=False,
     top=0,
     gtdb=False,
+    assembly_levels=(),
     threads: int = 1,
     quiet: bool = True,
 ) -> str:
@@ -353,22 +364,29 @@ def acquire(
 
     summary = select_assemblies(
         sources, organism_groups, taxids, complete_genomes,
-        reference_genomes, top, gtdb, workdir=version_folder, quiet=quiet,
+        reference_genomes, top, gtdb, assembly_levels,
+        workdir=version_folder, quiet=quiet,
     )
     print_log(f" - {summary.shape[0]} assemblies selected", quiet)
     if summary.empty:
         raise ValueError("no assemblies match the given selection")
 
     previous_files = None
+    previous_summary = None
     top_link = os.path.join(output_folder, "assembly_summary.txt")
     if os.path.islink(top_link):
-        previous_files = os.path.join(
-            output_folder, current_version(output_folder), "files")
+        prev_version = current_version(output_folder)
+        previous_files = os.path.join(output_folder, prev_version, "files")
+        prev_sum_path = os.path.join(
+            output_folder, prev_version, "assembly_summary.txt")
+        if os.path.isfile(prev_sum_path):
+            previous_summary = read_assembly_summary(prev_sum_path)
 
     _download_rows(summary, os.path.join(version_folder, "files"),
                    previous_files, threads, quiet)
     _write_summary(summary,
                    os.path.join(version_folder, "assembly_summary.txt"))
+    _write_changes(summary, previous_summary, version_folder, quiet)
 
     if os.path.islink(top_link) or os.path.isfile(top_link):
         os.remove(top_link)
@@ -383,6 +401,7 @@ def acquire(
         "reference_genomes": int(bool(reference_genomes)),
         "top": int(top or 0),
         "gtdb": int(bool(gtdb)),
+        "assembly_levels": ",".join(assembly_levels or []),
     })
     return version
 
@@ -402,9 +421,63 @@ def acquire_update(output_folder: str, threads: int = 1,
         reference_genomes=bool(int(last.get("reference_genomes") or 0)),
         top=int(last.get("top") or 0),
         gtdb=bool(int(last.get("gtdb") or 0)),
+        assembly_levels=split(last.get("assembly_levels") or ""),
         threads=threads,
         quiet=quiet,
     )
+
+
+def _write_changes(summary, previous_summary, version_folder: str,
+                   quiet: bool) -> None:
+    """Per-snapshot change report (genome_updater writes added/updated/
+    removed accession lists per version): ``changes.tsv`` rows are
+    ``A|R <tab> assembly_accession``; A = newly selected vs the previous
+    snapshot, R = no longer selected."""
+    cur = set(summary["assembly_accession"])
+    prev = (
+        set(previous_summary["assembly_accession"])
+        if previous_summary is not None
+        else set()
+    )
+    added = sorted(cur - prev)
+    removed = sorted(prev - cur)
+    with open(os.path.join(version_folder, "changes.tsv"), "w") as f:
+        for a in added:
+            f.write(f"A\t{a}\n")
+        for a in removed:
+            f.write(f"R\t{a}\n")
+    if prev:
+        print_log(
+            f" - {len(added)} added, {len(removed)} removed vs previous "
+            "snapshot", quiet,
+        )
+
+
+def rollback(output_folder: str, version: str | None = None) -> str:
+    """Repoint the snapshot symlink to an earlier version
+    (genome_updater -B): default = the version before the current one.
+    Appends that version's original history row so a later ``update``
+    re-acquires the rolled-back selection. Returns the new current
+    version."""
+    history = read_history(output_folder)
+    versions = [r["version"] for r in history]
+    cur = current_version(output_folder)
+    if version is None:
+        earlier = [v for v in versions if v < cur]
+        if not earlier:
+            raise ValueError("no earlier snapshot to roll back to")
+        version = earlier[-1]
+    if version not in versions:
+        raise ValueError(f"unknown snapshot version {version}")
+    target_summary = os.path.join(version, "assembly_summary.txt")
+    if not os.path.isfile(os.path.join(output_folder, target_summary)):
+        raise ValueError(f"snapshot {version} has no assembly_summary.txt")
+    top_link = os.path.join(output_folder, "assembly_summary.txt")
+    os.remove(top_link)
+    os.symlink(target_summary, top_link)
+    row = next(r for r in history if r["version"] == version)
+    _append_history(output_folder, row)
+    return version
 
 
 def fetch_taxdump(workdir: str, quiet: bool = True) -> str:

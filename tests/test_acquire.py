@@ -229,3 +229,65 @@ def test_download_md5_verification(tmp_path, monkeypatch):
     out3 = tmp_path / "files_nosum"
     acquire._download_rows(summary, str(out3), None, 1, True)
     assert (out3 / "GCA_1_v1_genomic.fna.gz").exists()
+
+
+def test_acquire_changes_and_rollback(tmp_path, monkeypatch):
+    """Snapshot change report (changes.tsv A/R rows) + rollback -B
+    analogue: symlink repoints, history gains the rolled-back selection
+    so a later update re-acquires it."""
+    from ganon_tpu import acquire
+
+    versions = iter(["2026-01-01_00-00-00", "2026-01-02_00-00-00",
+                     "2026-01-03_00-00-00"])
+    monkeypatch.setattr(acquire.time, "strftime",
+                        lambda fmt: next(versions))
+    out = str(tmp_path / "repo")
+
+    v1 = acquire.acquire(out, sources=["genbank"],
+                         organism_groups=["archaea"], quiet=True)
+    with open(os.path.join(out, v1, "changes.tsv")) as f:
+        ch1 = [r.split("\t") for r in f.read().splitlines()]
+    assert ch1 and all(op == "A" for op, _ in ch1)  # all new
+
+    v2 = acquire.acquire(out, sources=["genbank"],
+                         organism_groups=["archaea", "bacteria"],
+                         quiet=True)
+    with open(os.path.join(out, v2, "changes.tsv")) as f:
+        ch2 = dict(
+            (acc, op) for op, acc in
+            (r.split("\t") for r in f.read().splitlines())
+        )
+    # archaea assemblies carried over (not re-added), bacteria added
+    assert "A" in ch2.values()
+    assert all(op != "R" for op in ch2.values())
+    for _, acc in ch1:
+        assert acc not in ch2  # unchanged rows are not reported
+
+    assert acquire.current_version(out) == v2
+    back = acquire.rollback(out)
+    assert back == v1
+    assert acquire.current_version(out) == v1
+    # update after rollback re-acquires v1's selection (archaea only)
+    last = acquire.read_history(out)[-1]
+    assert last["organism_group"] == "archaea"
+
+
+def test_acquire_assembly_levels_filter(tmp_path):
+    """-l level-list analogue: selection filters by assembly_level."""
+    from ganon_tpu import acquire
+
+    out = str(tmp_path / "repo")
+    sel_all = acquire.select_assemblies(
+        ["genbank"], organism_groups=["archaea", "bacteria", "viral"],
+        workdir=out, quiet=True,
+    )
+    levels = set(sel_all["assembly_level"])
+    assert levels  # fake repo carries at least one level
+    lv = sorted(levels)[0]
+    sel = acquire.select_assemblies(
+        ["genbank"], organism_groups=["archaea", "bacteria", "viral"],
+        assembly_levels=[lv.upper()],  # case-insensitive
+        workdir=out, quiet=True,
+    )
+    assert set(sel["assembly_level"]) == {lv}
+    assert len(sel) <= len(sel_all)
