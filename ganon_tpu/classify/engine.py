@@ -451,6 +451,10 @@ def run_classify(cfg: ClassifyConfig) -> dict:
     hierarchy_totals: dict[str, dict[str, Total]] = {
         lbl: {p: Total() for p in prefixes} for lbl in levels
     }
+    # wall-clock breakdown of the main loop (dispatch overlaps device
+    # compute, so "dispatch" is host-side dispatch cost; "finish" is
+    # fetch-block + host post-processing; "input_wait" is reader stall)
+    timing = {"input_wait": 0.0, "dispatch": 0.0, "finish": 0.0}
 
     out = _Out()
     for p in prefixes:
@@ -525,9 +529,18 @@ def run_classify(cfg: ClassifyConfig) -> dict:
         )
         depth = max(1, cfg.pipeline_depth)
         pending: deque = deque()
-        for batch in batches():
+        it = iter(batches())
+        while True:
+            t0 = _time.monotonic()
+            batch = next(it, None)
+            timing["input_wait"] += _time.monotonic() - t0
+            if batch is None:
+                break
+            t0 = _time.monotonic()
             disp = _dispatch_batch_fast(batch, ctx, cfg)
+            timing["dispatch"] += _time.monotonic() - t0
             if disp is None:
+                t0 = _time.monotonic()
                 while pending:
                     lo = _finish_batch_fast(pending.popleft(), *finish_args)
                     if lo is not None and len(lo):
@@ -536,17 +549,22 @@ def run_classify(cfg: ClassifyConfig) -> dict:
                     batch, ctx, cfg, rep, hierarchy_totals[label], first,
                     last, out, one_files, all_files,
                 )
+                timing["finish"] += _time.monotonic() - t0
             else:
                 lo = None
                 if len(pending) >= depth:
+                    t0 = _time.monotonic()
                     lo = _finish_batch_fast(pending.popleft(), *finish_args)
+                    timing["finish"] += _time.monotonic() - t0
                 pending.append((batch, disp))
             if lo is not None and len(lo):
                 next_leftovers.append(lo)
+        t0 = _time.monotonic()
         while pending:
             lo = _finish_batch_fast(pending.popleft(), *finish_args)
             if lo is not None and len(lo):
                 next_leftovers.append(lo)
+        timing["finish"] += _time.monotonic() - t0
 
         # fold per-level totals and reports into global stats
         for p in prefixes:
@@ -576,9 +594,11 @@ def run_classify(cfg: ClassifyConfig) -> dict:
     if not cfg.quiet:
         _print_stats(totals, elapsed=_time.monotonic() - t_start)
 
+    timing["total"] = _time.monotonic() - t_start
     return {
         "totals": totals,
         "hierarchy_totals": hierarchy_totals,
+        "timing": timing,
     }
 
 
