@@ -419,7 +419,7 @@ def _time_kernel(genomes, ibf, batch, n_batches, lens=None):
     return batch * n_batches / elapsed
 
 
-def _time_e2e(kw, n_reads, timed_passes=2, breakdown_into=None,
+def _time_e2e(kw, n_reads, timed_passes=3, breakdown_into=None,
               breakdown_key=None):
     """Full run_classify throughput (reads/s) — what a user gets.
 
