@@ -512,6 +512,14 @@ def run_classify(cfg: ClassifyConfig) -> dict:
                 for b in ThreadedBatchSource(stream):
                     totals[b.prefix].input_seqs += len(b)
                     yield b
+            elif cfg.length_bucketing:
+                # leftovers are ragged half-empty sub-batches; each
+                # dispatch pays a fixed per-call cost, so coalesce them
+                # back to full n_reads batches (also re-buckets by
+                # length, since survivors of different buckets merge)
+                yield from bucketed_batches(
+                    iter(leftovers), cfg.n_reads, coalesce=True
+                )
             else:
                 yield from leftovers
 

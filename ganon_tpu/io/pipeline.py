@@ -179,7 +179,8 @@ def strided_batches(source, stride: int, offset: int):
         yield batch if len(keep) == n else batch.select(keep)
 
 
-def bucketed_batches(source, n_reads: int, max_bucket_bytes: int = 64 << 20):
+def bucketed_batches(source, n_reads: int, max_bucket_bytes: int = 64 << 20,
+                     coalesce: bool = False):
     """Regroup a batch stream by read-length bucket before padding.
 
     Mixed-length inputs (nanopore-style distributions) otherwise pad
@@ -191,7 +192,11 @@ def bucketed_batches(source, n_reads: int, max_bucket_bytes: int = 64 << 20):
     re-emitted as per-bucket batches of up to ``n_reads`` rows (flushed
     earlier past ``max_bucket_bytes``). Single-bucket input batches
     (uniform short-read workloads) pass through untouched, preserving
-    the original streaming behavior.
+    the original streaming behavior — unless ``coalesce`` is set, in
+    which case even uniform batches accumulate to full ``n_reads``
+    rows: hierarchy leftovers arrive as ragged half-empty sub-batches
+    and each dispatch pays a fixed per-call cost, so merging them
+    divides the next level's dispatch count.
     """
     from ganon_tpu.classify.device import bucket_len
 
@@ -229,7 +234,7 @@ def bucketed_batches(source, n_reads: int, max_bucket_bytes: int = 64 << 20):
             lmax = np.maximum(lmax, batch.len2)
         lo = bucket_len(max(int(lmax.min()), 1))
         hi = bucket_len(max(int(lmax.max()), 1))
-        if lo == hi and not acc:
+        if lo == hi and not acc and not coalesce:
             yield batch  # uniform batch, nothing buffered: pass through
             continue
         # split rows by bucket (vectorized over the unique lengths)

@@ -529,3 +529,50 @@ def test_hibf_forest_fast_path_matches_full(tmp_path):
             for ext in (".rep", ".all", ".unc")
         }
     assert outs["fast"] == outs["full"]
+
+
+def test_hierarchy_leftover_coalescing_identical(tmp_path):
+    """Level-2 leftovers are coalesced into full batches (fixed
+    per-dispatch cost); outputs must equal the uncoalesced stream.
+    Small n_reads forces many ragged leftover sub-batches."""
+    rng = random.Random(21)
+    refs1 = {f"A{i}": "".join(rng.choice("ACGT") for _ in range(200))
+             for i in range(3)}
+    refs2 = {f"B{i}": "".join(rng.choice("ACGT") for _ in range(200))
+             for i in range(3)}
+    db1 = build_db(tmp_path, refs1, name="c1", k=10, w=10)
+    db2 = build_db(tmp_path, refs2, name="c2", k=10, w=10)
+    refs = {**refs1, **refs2}
+    reads = {}
+    for i in range(64):
+        t = list(refs)[i % len(refs)]
+        s = rng.randint(0, 150)
+        reads[f"q{i}"] = refs[t][s : s + 40]
+    for i in range(8):
+        reads[f"junk{i}"] = "".join(rng.choice("ACGT") for _ in range(40))
+    fq = tmp_path / "reads.fq"
+    write_fastq(fq, reads)
+
+    def run(tag, bucketing):
+        out = str(tmp_path / tag)
+        run_classify(ClassifyConfig(
+            ibf=[db1, db2],
+            hierarchy_labels=["1_first", "2_second"],
+            single_reads=[str(fq)],
+            output_prefix=out,
+            rel_cutoff=[0.5],
+            n_reads=8,  # many small batches -> many ragged leftovers
+            length_bucketing=bucketing,
+            output_all=True,
+            output_unclassified=True,
+        ))
+        res = {}
+        for ext in (".1_first.all", ".2_second.all", ".unc", ".rep"):
+            res[ext] = sorted(
+                "\t".join(r) for r in read_tsv(str(tmp_path / tag) + ext)
+            )
+        return res
+
+    coalesced = run("co", True)
+    plain = run("pl", False)
+    assert coalesced == plain
