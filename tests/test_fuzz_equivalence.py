@@ -167,3 +167,122 @@ def test_fuzz_fast_slow_oracle(tmp_path, seed):
             expect.add((rid, t))
     assert have == expect, (seed, k, w, paired, rel_cutoff, rel_filter,
                             fpr_query)
+
+
+def _oracle_counts_hibf(db_path, reads1, reads2, k, w):
+    """Forest oracle: per-read counts summed over every sub-IBF
+    (classes hold disjoint targets; class-local bit matrices)."""
+    from ganon_tpu.index.hibf import HIBF
+    from ganon_tpu.ops.ibf_query import ibf_row_indices_np
+    from ganon_tpu.ops.minimizers import minimizers_golden
+
+    def read_hashes(seq):
+        vals = minimizers_golden(seq, k=k, w=w)
+        return np.asarray(vals, dtype=np.uint64) if len(vals) else \
+            np.empty(0, np.uint64)
+
+    hibf = HIBF.load(db_path)
+    out = {}
+    for rid in reads1:
+        hs = [read_hashes(reads1[rid])]
+        if reads2 is not None:
+            hs.append(read_hashes(reads2.get(rid, "")))
+        h = np.concatenate([x for x in hs if len(x)]) if any(
+            len(x) for x in hs) else np.empty(0, np.uint64)
+        if len(reads1[rid]) < w:
+            out[rid] = (0, {})
+            continue
+        n = len(h)
+        counts = {}
+        if n:
+            for sub in hibf.subs:
+                bits = sub.bits
+                b2t = sub.bin_to_target_ids()
+                tnames = sub.targets()
+                rows = ibf_row_indices_np(
+                    h, bin_size=sub.ibf_config.bin_size_bits,
+                    hash_functions=sub.ibf_config.hash_functions)
+                member = np.ones((n, bits.shape[1] * 32), dtype=bool)
+                for s in range(rows.shape[1]):
+                    r = bits[rows[:, s]]
+                    bitsrow = (
+                        (r[:, :, None] >> np.arange(32, dtype=np.uint32))
+                        & 1
+                    ).astype(bool).reshape(n, -1)
+                    member &= bitsrow
+                per_bin = member.sum(axis=0)
+                for b, t in enumerate(b2t):
+                    if t < len(tnames):
+                        counts[tnames[t]] = counts.get(
+                            tnames[t], 0) + int(per_bin[b])
+        counts = {t: min(c, n) for t, c in counts.items() if c}
+        out[rid] = (n, counts)
+    return out
+
+
+@pytest.mark.parametrize("seed", [111, 222])
+def test_fuzz_forest_fast_slow_oracle(tmp_path, seed):
+    """Same differential rig through the HIBF forest path (the
+    reference's default filter type): device fast path == host slow
+    path == an independent per-sub-IBF numpy oracle."""
+    from ganon_tpu.index.hibf import build_hibf
+    from ganon_tpu.index.builder import sequence_hashes
+
+    rng = random.Random(seed)
+    k = rng.choice([8, 10])
+    w = k + rng.choice([0, 2])
+    rel_cutoff = rng.choice([0.2, 0.5])
+    # skewed ref lengths so the geometric class split actually splits
+    refs = {
+        f"T{i:02d}": "".join(
+            rng.choice("ACGT") for _ in range(120 * (i + 1))
+        )
+        for i in range(6)
+    }
+    target_hashes = {
+        t: np.unique(sequence_hashes(s, k, w)) for t, s in refs.items()
+    }
+    hibf = build_hibf(target_hashes, kmer_size=k, window_size=w,
+                      max_fp=0.05, num_classes=3)
+    assert len(hibf.subs) >= 2  # a real forest, not one class
+    db = str(tmp_path / "f.hibf")
+    hibf.save(db)
+
+    reads1 = {}
+    for i in range(30):
+        t = list(refs)[i % len(refs)]
+        s = rng.randint(0, max(len(refs[t]) - 40, 1))
+        reads1[f"q{i}"] = refs[t][s : s + 40]
+    for i in range(6):
+        reads1[f"j{i}"] = "".join(rng.choice("ACGT") for _ in range(40))
+    f1 = tmp_path / "r1.fq"
+    write_fastq(f1, reads1)
+
+    outs = {}
+    for mode in (True, False):
+        out = str(tmp_path / f"fm{mode}")
+        run_classify(ClassifyConfig(
+            ibf=[db], single_reads=[str(f1)], output_prefix=out,
+            rel_cutoff=[rel_cutoff], rel_filter=[1.0], fpr_query=[1.0],
+            output_all=True, output_unclassified=True,
+            device_thresholding=mode,
+        ))
+        outs[mode] = out
+    for ext in (".one", ".unc", ".rep", ".all"):
+        a = sorted(map(tuple, read_tsv(outs[True] + ext)))
+        b = sorted(map(tuple, read_tsv(outs[False] + ext)))
+        assert a == b, (ext, seed, k, w)
+
+    oracle = _oracle_counts_hibf(db, reads1, None, k, w)
+    allm = read_tsv(outs[True] + ".all")
+    have = {(r[0], r[1]) for r in allm}
+    expect = set()
+    for rid, target, cnt in ((r[0], r[1], int(r[2])) for r in allm):
+        n, counts = oracle[rid]
+        assert counts.get(target) == cnt, (rid, target, seed)
+        assert cnt >= max(math.ceil(n * rel_cutoff), 1)
+    for rid, (n, counts) in oracle.items():
+        for t, c in counts.items():
+            if n and c >= max(math.ceil(n * rel_cutoff), 1):
+                expect.add((rid, t))
+    assert have == expect, (seed, k, w, rel_cutoff)
