@@ -12,7 +12,8 @@ bench exited rc=3 with nothing).
 Stage groups (later groups are dropped first when the budget runs out):
   core32  : kernel_micro, kernel_T32, e2e_T32 (the headline)
   wide    : kernel_T1024, e2e_T1024
-  extras  : e2e_forest, e2e_hierarchy, e2e_mixedlen, e2e_refdata
+  extras  : e2e_forest, e2e_hierarchy, e2e_multifilter,
+            e2e_mixedlen, e2e_refdata
 
 Databases (cached under .bench_cache/, keyed by sizing policy + hash
 family digest):
@@ -21,8 +22,9 @@ family digest):
     realistic RefSeq-subset shape; BASELINE.md north star).
   * F256:  256 targets, skewed lengths 10-200 kbp — HIBF forest regime
     (4 size classes; the reference's default filter type is hibf).
-  * T32 halves: 2 x 16 targets — two-level hierarchy regime with
-    leftover requeue (GanonClassify.cpp:1459-1639).
+  * T32 halves: 2 x 16 targets — the two-level hierarchy regime with
+    leftover requeue (GanonClassify.cpp:1459-1639) AND the
+    multi-filter one-level regime (both halves under one label).
   * refdata: the reference's bundled real assemblies + sim reads
     (tests/ganon/data) through the full build-custom + classify path.
 
@@ -73,8 +75,8 @@ GROUPS = [
     # (group name, [stage names], weight for budget allocation)
     ("core32", ["kernel_micro", "kernel_T32", "e2e_T32"], 1.3),
     ("wide", ["kernel_T1024", "e2e_T1024"], 1.0),
-    ("extras", ["e2e_forest", "e2e_hierarchy", "e2e_mixedlen",
-                "e2e_refdata"], 1.0),
+    ("extras", ["e2e_forest", "e2e_hierarchy", "e2e_multifilter",
+                "e2e_mixedlen", "e2e_refdata"], 1.0),
 ]
 
 # conservative WARM-cache wall-clock estimates per stage (seconds); a
@@ -88,6 +90,7 @@ STAGE_EST = {
     "e2e_T1024": 75,
     "e2e_forest": 75,
     "e2e_hierarchy": 70,
+    "e2e_multifilter": 60,
     "e2e_mixedlen": 60,
     "e2e_refdata": 60,
 }
@@ -560,6 +563,23 @@ def st_e2e_hierarchy():
     return {"e2e_hierarchy": round(v, 1)}
 
 
+def st_e2e_multifilter():
+    """Two databases on ONE hierarchy level (per-read max across
+    filters, merged on device — GanonClassify.cpp:504-541 multi-filter
+    semantics): the T32 halves under a single label."""
+    n = 65536
+    genomes, _, _ = build_database("T32")
+    dbs = build_hierarchy_databases()
+    fq = _reads_fastq("T32", genomes, n)
+    kw = _e2e_kw(
+        dbs, fq, "e2e_multi",
+        hierarchy_labels=["H1", "H1"],
+        rel_cutoff=[0.75, 0.75],
+    )
+    v = _time_e2e(kw, n)
+    return {"e2e_multifilter": round(v, 1)}
+
+
 def st_e2e_mixedlen():
     """Nanopore-style mixed-length single-end reads vs T32 with length
     bucketing (the 2-regime claim, driver-visible)."""
@@ -649,6 +669,7 @@ STAGES = {
     "e2e_T1024": st_e2e_T1024,
     "e2e_forest": st_e2e_forest,
     "e2e_hierarchy": st_e2e_hierarchy,
+    "e2e_multifilter": st_e2e_multifilter,
     "e2e_mixedlen": st_e2e_mixedlen,
     "e2e_refdata": st_e2e_refdata,
 }
