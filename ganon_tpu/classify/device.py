@@ -670,6 +670,8 @@ class DeviceFilter:
             self.tbl8 = commit_device_table(tbl8, _U32_TABLE_BYTES)
             self.byte_starts = jnp.asarray(byte_starts)
             self.byte_ends = jnp.asarray(byte_ends)
+        # u8 = the VMEM-staged gather regime (engine auto-batch sizing)
+        self.vmem_staged = self.tbl8.dtype == jnp.uint8
         self.target_fpr = ibf.target_fpr()
 
     def put_batch(self, arr):
@@ -801,6 +803,7 @@ class DeviceHIBF:
         self.batch_mult = 1 if mesh is None else mesh.shape["batch"]
         tid = {t: i for i, t in enumerate(self.targets)}
         self.subs = [DeviceFilter(s, mesh=mesh) for s in hibf.subs]
+        self.vmem_staged = all(s.vmem_staged for s in self.subs)
         self.sub_cols = [
             np.asarray([tid[t] for t in s.targets], dtype=np.int32)
             for s in self.subs
@@ -882,7 +885,7 @@ class DeviceRaptorHIBF:
             else:
                 tbl_dev = commit_device_table(tbl8, _U32_TABLE_BYTES)
             self.subs.append({
-                "tbl8": tbl_dev,
+                "tbl8": tbl_dev,  # u8 unless wide (vmem_staged below)
                 "byte_starts": jnp.asarray(bstarts),
                 "byte_ends": jnp.asarray(bends),
                 "bin_size": int(bin_size),
@@ -891,6 +894,10 @@ class DeviceRaptorHIBF:
             })
 
     put_batch = DeviceFilter.put_batch
+
+    @property
+    def vmem_staged(self) -> bool:
+        return all(s["tbl8"].dtype == jnp.uint8 for s in self.subs)
 
     def counts(self, hashes, mask, n_hashes) -> np.ndarray:
         out = jnp.zeros((hashes.shape[0], self.num_targets), dtype=jnp.int32)

@@ -68,7 +68,10 @@ class ClassifyConfig:
     output_single: bool = False
     skip_lca: bool = False
     tax_root_node: str = "1"
-    n_reads: int = 8192  # device batch size
+    # device batch size; 0 = auto by table regime (16384 when the
+    # filter is VMEM-staged — amortizes the per-dispatch staging copy —
+    # else 8192)
+    n_reads: int = 0
     # in-flight fast-path batches before fetching the oldest result;
     # >1 hides the device round-trip (and, with async host copies,
     # divides per-call latency on remote devices by the depth)
@@ -471,6 +474,16 @@ def run_classify(cfg: ClassifyConfig) -> dict:
         first = li == 0
         last = li == len(level_labels) - 1
         ctx = LevelContext(level, cfg, mesh)
+        if first and not cfg.n_reads:
+            # auto batch size by table regime: the VMEM-staged (u8)
+            # table pays one HBM->VMEM staging copy per dispatch
+            # (1.8 ms at 87 MB, round-4 trace), so bigger batches
+            # amortize it (+7% kernel at 16384); the HBM/u32 regime is
+            # gather-bound and indifferent (measured slightly worse)
+            staged = all(
+                getattr(f, "vmem_staged", False) for f in ctx.filters
+            )
+            cfg.n_reads = 16384 if staged else 8192
         rep: dict[tuple[str, str], Rep] = {}
         next_leftovers: list[ReadBatch] = []
 

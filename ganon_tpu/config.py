@@ -308,7 +308,8 @@ class Config:
         cl.add_argument("--output-single", action="store_true", default=False)
         cl.add_argument("--tax-root-node", type=str, default="1")
         cl.add_argument("-t", "--threads", type=unsigned_int(1), default=1)
-        cl.add_argument("--n-reads", type=unsigned_int(1), default=8192,
+        # 0 = auto by table regime (engine.ClassifyConfig.n_reads)
+        cl.add_argument("--n-reads", type=unsigned_int(0), default=0,
                         help=argparse.SUPPRESS)
         cl.add_argument("--n-batches", type=unsigned_int(1), default=1000,
                         help=argparse.SUPPRESS)
