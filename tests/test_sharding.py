@@ -119,3 +119,55 @@ def test_engine_mesh_outputs_match_single_device(tmp_path):
             for ext in (".rep", ".all", ".unc")
         }
     assert outs["mesh"] == outs["single"]
+
+
+def test_forest_mesh_outputs_match_single_device(tmp_path):
+    """HIBF forest classify over the (batch, bins) mesh must equal the
+    single-device run line for line (sub-IBF tables column-sharded)."""
+    from ganon_tpu.classify.engine import ClassifyConfig, run_classify
+    from ganon_tpu.index.builder import sequence_hashes
+    from ganon_tpu.index.hibf import build_hibf
+
+    rng = np.random.default_rng(13)
+    bases = "ACGT"
+    refs = {
+        f"T{i}": "".join(
+            bases[int(b)]
+            for b in rng.integers(0, 4, size=300 * (i + 1))
+        )
+        for i in range(5)
+    }
+    k, w = 10, 12
+    th = {t: np.unique(sequence_hashes(s, k, w)) for t, s in refs.items()}
+    hibf = build_hibf(th, kmer_size=k, window_size=w, max_fp=0.05,
+                      num_classes=3)
+    assert len(hibf.subs) >= 2
+    db = str(tmp_path / "forest.hibf")
+    hibf.save(db)
+
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i in range(40):
+            t = list(refs)[i % len(refs)]
+            s = int(rng.integers(0, max(len(refs[t]) - 60, 1)))
+            f.write(f"@q{i}\n{refs[t][s:s + 60]}\n+\n{'I' * 60}\n")
+
+    def run(tag, use_mesh):
+        out = str(tmp_path / tag)
+        run_classify(ClassifyConfig(
+            ibf=[db], single_reads=[str(fq)], output_prefix=out,
+            rel_cutoff=[0.3], output_all=True, output_unclassified=True,
+            use_mesh=use_mesh,
+        ))
+        res = {}
+        for ext in (".all", ".one", ".unc", ".rep"):
+            import os
+
+            if os.path.exists(out + ext):
+                with open(out + ext) as f:
+                    res[ext] = sorted(f.read().splitlines())
+        return res
+
+    meshed = run("mesh", True)      # 8 virtual devices (conftest)
+    single = run("single", False)
+    assert meshed == single
