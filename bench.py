@@ -636,14 +636,14 @@ def st_e2e_refdata():
         if not ok:
             log("refdata: build-custom failed, skipping")
             return {}
-    # replicate the 98 sim pairs x256 so the number measures throughput,
-    # not per-run latency (the raw pair is byte-tested in
-    # tests/test_reference_data.py)
-    reps = 256
+    # replicate the 98 sim pairs x1024 (~100k pairs) so the number
+    # measures throughput, not per-run latency (the raw pair is
+    # byte-tested in tests/test_reference_data.py)
+    reps = 1024
     fqs = []
     for m in (1, 2):
         src = os.path.join(data, f"classify/sim.{m}.fq.gz")
-        dst = os.path.join(CACHE_DIR, f"refdata_sim.{m}.fq")
+        dst = os.path.join(CACHE_DIR, f"refdata_sim{reps}.{m}.fq")
         if not os.path.exists(dst):
             with gzip.open(src, "rb") as f:
                 payload = f.read()

@@ -168,21 +168,22 @@ def main_time(threads="24", workdir="/tmp/diff_reference_time"):
               "--kmer-size", str(K), "--window-size", str(W),
               "--max-fp", "0.05", "--threads", threads])
 
-    # the same x256-replicated sim reads bench.py times (reuse the
+    # the same x1024-replicated sim reads bench.py times (reuse the
     # bench cache when present)
+    reps = 1024
     cache = os.path.join(os.path.dirname(__file__), "..", ".bench_cache")
     fqs = []
     for m in (1, 2):
-        dst = os.path.join(cache, f"refdata_sim.{m}.fq")
+        dst = os.path.join(cache, f"refdata_sim{reps}.{m}.fq")
         if not os.path.exists(dst):
-            dst = os.path.join(workdir, f"refdata_sim.{m}.fq")
+            dst = os.path.join(workdir, f"refdata_sim{reps}.{m}.fq")
             if not os.path.exists(dst):
                 with gzip.open(
                     os.path.join(data, f"classify/sim.{m}.fq.gz"), "rb"
                 ) as f:
                     payload = f.read()
                 with open(dst, "wb") as f:
-                    for _ in range(256):
+                    for _ in range(reps):
                         f.write(payload)
         fqs.append(dst)
     n_reads = sum(1 for _ in open(fqs[0], "rb")) // 4
