@@ -92,7 +92,7 @@ STAGE_EST = {
     "e2e_hierarchy": 70,
     "e2e_multifilter": 60,
     "e2e_mixedlen": 60,
-    "e2e_refdata": 60,
+    "e2e_refdata": 110,  # ~100k pairs x 4 passes + db load
 }
 
 
