@@ -123,10 +123,13 @@ class Config:
                                 "descent only pays on CPUs)")
             adv = p.add_argument_group("advanced arguments")
             adv.add_argument("--filter-format", type=str, default="tpu",
-                             choices=["tpu", "reference"],
-                             help="On-disk .ibf format: tpu (native npz) or "
-                                  "reference (cereal archive cross-loadable "
-                                  "by the reference C++ binaries)")
+                             choices=["tpu", "tpu-raw", "reference"],
+                             help="On-disk .ibf format: tpu (native npz), "
+                                  "tpu-raw (uncompressed mmap-able — "
+                                  "near-instant load for very large dbs) "
+                                  "or reference (cereal archive "
+                                  "cross-loadable by the reference C++ "
+                                  "binaries)")
             adv.add_argument("-p", "--max-fp", type=int_or_float(0, 1),
                              default=None,
                              help="Max false positive of the filter")

@@ -65,7 +65,9 @@ class BuildConfig:
     hash_functions_defaulted: bool = False  # h=4 came from the CLI default
     quiet: bool = True
     verbose: bool = False
-    filter_format: str = "tpu"  # tpu (npz) | reference (cereal, cross-loadable)
+    # tpu (npz) | tpu-raw (mmap-able, instant load for huge dbs)
+    # | reference (cereal, cross-loadable)
+    filter_format: str = "tpu"
     # shard the scatter's bit-matrix over all local devices ("auto":
     # whenever >1 device is visible; results are bit-identical)
     build_mesh: str = "auto"  # auto | off
@@ -609,6 +611,8 @@ def _finish_build(cfg: BuildConfig, ibf: IBF, stats: BuildStats,
             from ganon_tpu.index import serialize
 
             serialize.write_ibf(ibf, cfg.output_file)
+        elif cfg.filter_format == "tpu-raw":
+            ibf.save_raw(cfg.output_file)
         else:
             ibf.save(cfg.output_file)
         if mark is not None:

@@ -20,6 +20,8 @@ from ganon_tpu.index import sizing
 from ganon_tpu.ops.ibf_query import ibf_row_indices_np
 
 MAGIC = "ganon-tpu-ibf-v1"
+# mmap-able raw container (save_raw / --filter-format tpu-raw)
+RAW_MAGIC = b"GANON-TPU-IBF-RAW1\n"
 
 
 class IBF:
@@ -93,9 +95,62 @@ class IBF:
 
             os.replace(path + ".tmp.npz", path)
 
+    def save_raw(self, path: str) -> None:
+        """mmap-able container (``--filter-format tpu-raw``): small JSON
+        header + page-aligned raw bit-matrix bytes.
+
+        The default npz container zlib-compresses the bit-matrix, which
+        costs a full decompress at every classify start — minutes for a
+        RefSeq-scale (100 GB-class) db. The raw layout loads via
+        ``np.memmap``: the OS pages bits in on demand, so time-to-first-
+        batch is independent of filter size.
+        """
+        header = {
+            "magic": MAGIC,
+            "ibf_config": self.ibf_config.to_dict(),
+            "targets": self.targets(),
+            "hashes_count": [self.hashes_count[t] for t in self.targets()],
+            "bin_map": self.bin_map,
+            "bits_shape": list(self.bits.shape),
+            "bits_dtype": str(self.bits.dtype),
+        }
+        blob = json.dumps(header).encode()
+        import os
+
+        with open(path + ".tmp", "wb") as f:
+            f.write(RAW_MAGIC)
+            f.write(len(blob).to_bytes(8, "little"))
+            f.write(blob)
+            pos = f.tell()
+            f.write(b"\0" * (-pos % 4096))  # page-align the matrix
+            f.write(np.ascontiguousarray(self.bits).tobytes())
+        os.replace(path + ".tmp", path)
+
+    @classmethod
+    def _load_raw(cls, path: str) -> "IBF":
+        with open(path, "rb") as f:
+            assert f.read(len(RAW_MAGIC)) == RAW_MAGIC
+            hlen = int.from_bytes(f.read(8), "little")
+            header = json.loads(f.read(hlen).decode())
+            offset = f.tell()
+            offset += -offset % 4096
+        if header.get("magic") != MAGIC:
+            raise ValueError(f"not a ganon-tpu IBF file: {path}")
+        bits = np.memmap(
+            path, mode="r", dtype=np.dtype(header["bits_dtype"]),
+            offset=offset, shape=tuple(header["bits_shape"]),
+        )
+        cfg = IBFConfig.from_dict(header["ibf_config"])
+        hashes_count = dict(zip(header["targets"], header["hashes_count"]))
+        bin_map = [(int(b), t) for b, t in header["bin_map"]]
+        return cls(bits, cfg, hashes_count, bin_map)
+
     @classmethod
     def load(cls, path: str) -> "IBF":
         if not zipfile.is_zipfile(path):
+            with open(path, "rb") as f:
+                if f.read(len(RAW_MAGIC)) == RAW_MAGIC:
+                    return cls._load_raw(path)
             # reference-format cereal archive (cross-compatibility)
             from ganon_tpu.index import serialize
 

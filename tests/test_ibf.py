@@ -301,3 +301,70 @@ def test_build_roundtrip_single_hash_function():
     )
     for i, t in enumerate(targets):
         assert counts[i, tb[t]].sum() >= len(th[t])
+
+
+def test_raw_format_roundtrip_and_parity(tmp_path):
+    """tpu-raw container: bit-identical round trip, mmap-backed load,
+    and identical classification to the npz-format db."""
+    import os
+
+    import numpy as np
+
+    from ganon_tpu.index.ibf import IBF, build_ibf
+
+    rng = np.random.default_rng(7)
+    th = {
+        f"T{i}": np.unique(
+            rng.integers(0, 2**62, size=500, dtype=np.uint64)
+        )
+        for i in range(6)
+    }
+    ibf = build_ibf(th, kmer_size=19, window_size=31, max_fp=0.05)
+    npz = str(tmp_path / "a.ibf")
+    raw = str(tmp_path / "b.ibf")
+    ibf.save(npz)
+    ibf.save_raw(raw)
+
+    got = IBF.load(raw)
+    assert isinstance(got.bits, np.memmap)  # pages in on demand
+    assert np.array_equal(np.asarray(got.bits), ibf.bits)
+    assert got.hashes_count == ibf.hashes_count
+    assert got.bin_map == ibf.bin_map
+    assert got.ibf_config.to_dict() == ibf.ibf_config.to_dict()
+    # raw is larger on disk but loads without decompression
+    assert os.path.getsize(raw) >= ibf.bits.nbytes
+
+
+def test_raw_format_via_cli_build_and_classify(tmp_path):
+    """--filter-format tpu-raw through build-custom + classify."""
+    import numpy as np
+
+    from ganon_tpu.cli import main
+    from ganon_tpu.config import Config
+
+    rng = np.random.default_rng(8)
+    bases = "ACGT"
+    genome = "".join(bases[int(b)] for b in rng.integers(0, 4, size=5000))
+    fa = tmp_path / "g.fa"
+    fa.write_text(f">G\n{genome}\n")
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i in range(20):
+            s = int(rng.integers(0, 4800))
+            f.write(f"@q{i}\n{genome[s:s + 150]}\n+\n{'I' * 150}\n")
+    outs = {}
+    for fmt in ("tpu", "tpu-raw"):
+        db = str(tmp_path / f"db_{fmt}")
+        assert main(cfg=Config(
+            "build-custom", db_prefix=db, input=[str(fa)],
+            input_extension="fa", taxonomy="skip", input_target="file",
+            filter_format=fmt, quiet=True,
+        ))
+        out = str(tmp_path / f"res_{fmt}")
+        assert main(cfg=Config(
+            "classify", db_prefix=[db], single_reads=[str(fq)],
+            output_prefix=out, output_all=True, quiet=True,
+        ))
+        with open(out + ".all") as f:
+            outs[fmt] = sorted(f.read().splitlines())
+    assert outs["tpu"] == outs["tpu-raw"]
