@@ -25,6 +25,9 @@ from ganon_tpu.index.config import IBFConfig
 from ganon_tpu.index.ibf import IBF, build_ibf
 
 MAGIC = "ganon-tpu-hibf-v1"
+# mmap-able raw container (save_raw / --filter-format tpu-raw)
+RAW_MAGIC = b"GANON-TPU-HIBF-RAW1\n"
+RAW_MAGIC_STR = "ganon-tpu-hibf-raw-v1"
 
 
 class HIBF:
@@ -87,8 +90,91 @@ class HIBF:
 
         os.replace(path + ".tmp.npz", path)
 
+    def save_raw(self, path: str) -> None:
+        """mmap-able forest container (``--filter-format tpu-raw``):
+        JSON header + one page-aligned raw bit-matrix per class. Load
+        time is independent of forest size (see IBF.save_raw)."""
+        import os
+
+        header = {
+            "magic": RAW_MAGIC_STR,
+            "kmer_size": self.ibf_config.kmer_size,
+            "window_size": self.ibf_config.window_size,
+            "max_fp": self.ibf_config.max_fp,
+            "subs": [],
+        }
+        offset = 0  # filled below once the header size is known
+        metas = []
+        for s in self.subs:
+            metas.append({
+                "ibf_config": s.ibf_config.to_dict(),
+                "targets": s.targets(),
+                "hashes_count": [s.hashes_count[t] for t in s.targets()],
+                "bin_map": s.bin_map,
+                "bits_shape": list(s.bits.shape),
+                "bits_dtype": str(s.bits.dtype),
+                "bits_offset": 0,
+            })
+        # two-pass: serialize with placeholder offsets to learn the
+        # header size (offsets are fixed-width ints, so re-serializing
+        # with real values cannot change the length — they are padded)
+        for m in metas:
+            m["bits_offset"] = 0xFFFFFFFFFFFF  # 12-digit placeholder
+        blob = json.dumps(header | {"subs": metas}).encode()
+        data_start = len(RAW_MAGIC) + 8 + len(blob)
+        data_start += -data_start % 4096
+        offset = data_start
+        for m, s in zip(metas, self.subs):
+            m["bits_offset"] = offset
+            offset += int(np.prod(m["bits_shape"])) * s.bits.dtype.itemsize
+            offset += -offset % 4096
+        blob2 = json.dumps(header | {"subs": metas}).encode()
+        # pad shorter real offsets back to the placeholder length
+        blob2 = blob2.ljust(len(blob), b" ")
+        assert len(blob2) == len(blob)
+        with open(path + ".tmp", "wb") as f:
+            f.write(RAW_MAGIC)
+            f.write(len(blob2).to_bytes(8, "little"))
+            f.write(blob2)
+            f.write(b"\0" * (data_start - f.tell()))
+            for m, s in zip(metas, self.subs):
+                f.write(b"\0" * (m["bits_offset"] - f.tell()))
+                f.write(np.ascontiguousarray(s.bits).tobytes())
+        os.replace(path + ".tmp", path)
+
+    @classmethod
+    def _load_raw(cls, path: str) -> "HIBF":
+        with open(path, "rb") as f:
+            assert f.read(len(RAW_MAGIC)) == RAW_MAGIC
+            hlen = int.from_bytes(f.read(8), "little")
+            header = json.loads(f.read(hlen).decode())
+        if header.get("magic") != RAW_MAGIC_STR:
+            raise ValueError(f"not a ganon-tpu raw HIBF file: {path}")
+        subs = []
+        for sh in header["subs"]:
+            cfg = IBFConfig.from_dict(sh["ibf_config"])
+            hashes_count = dict(zip(sh["targets"], sh["hashes_count"]))
+            bin_map = [(int(b), t) for b, t in sh["bin_map"]]
+            bits = np.memmap(
+                path, mode="r", dtype=np.dtype(sh["bits_dtype"]),
+                offset=int(sh["bits_offset"]),
+                shape=tuple(sh["bits_shape"]),
+            )
+            subs.append(IBF(bits, cfg, hashes_count, bin_map))
+        return cls(
+            subs, header["kmer_size"], header["window_size"],
+            header["max_fp"],
+        )
+
     @classmethod
     def load(cls, path: str) -> "HIBF":
+        import zipfile
+
+        if not zipfile.is_zipfile(path):
+            with open(path, "rb") as f:
+                if f.read(len(RAW_MAGIC)) == RAW_MAGIC:
+                    return cls._load_raw(path)
+            raise ValueError(f"not a ganon-tpu HIBF file: {path}")
         with np.load(path, allow_pickle=False) as z:
             header = json.loads(bytes(z["header"].tobytes()).decode())
             if header.get("magic") != MAGIC:
@@ -343,6 +429,8 @@ def run_build_hibf(
     )
     if filter_format == "reference":
         export_raptor_hibf(hibf, target_hashes, output_file)
+    elif filter_format == "tpu-raw":
+        hibf.save_raw(output_file)
     else:
         hibf.save(output_file)
     return hibf

@@ -238,3 +238,57 @@ def test_hashes_count_estimated_from_occupancy(hierarchy):
         assert abs(got - want) / want < 0.1, (got, want)
     # cached: second access returns the same object
     assert rh.hashes_count is est
+
+
+def test_forest_raw_roundtrip_and_classify(tmp_path):
+    """tpu-raw forest container: bit-identity, memmap backing and
+    classify parity vs the npz container."""
+    import numpy as np
+
+    from ganon_tpu.classify.engine import ClassifyConfig, run_classify
+    from ganon_tpu.index.builder import sequence_hashes
+    from ganon_tpu.index.hibf import HIBF, build_hibf
+
+    rng = np.random.default_rng(19)
+    bases = "ACGT"
+    refs = {
+        f"T{i}": "".join(
+            bases[int(b)]
+            for b in rng.integers(0, 4, size=400 * (i + 1))
+        )
+        for i in range(5)
+    }
+    k, w = 10, 12
+    th = {t: np.unique(sequence_hashes(s, k, w)) for t, s in refs.items()}
+    hibf = build_hibf(th, kmer_size=k, window_size=w, max_fp=0.05,
+                      num_classes=3)
+    assert len(hibf.subs) >= 2
+    npz = str(tmp_path / "a.hibf")
+    raw = str(tmp_path / "b.hibf")
+    hibf.save(npz)
+    hibf.save_raw(raw)
+
+    got = HIBF.load(raw)
+    assert len(got.subs) == len(hibf.subs)
+    for a, b in zip(got.subs, hibf.subs):
+        assert isinstance(a.bits, np.memmap)
+        assert np.array_equal(np.asarray(a.bits), b.bits)
+        assert a.bin_map == b.bin_map
+        assert a.hashes_count == b.hashes_count
+
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i in range(30):
+            t = list(refs)[i % len(refs)]
+            s = int(rng.integers(0, max(len(refs[t]) - 60, 1)))
+            f.write(f"@q{i}\n{refs[t][s:s + 60]}\n+\n{'I' * 60}\n")
+    outs = {}
+    for tag, db in (("npz", npz), ("raw", raw)):
+        out = str(tmp_path / tag)
+        run_classify(ClassifyConfig(
+            ibf=[db], single_reads=[str(fq)], output_prefix=out,
+            rel_cutoff=[0.3], output_all=True, quiet=True,
+        ))
+        with open(out + ".all") as f:
+            outs[tag] = sorted(f.read().splitlines())
+    assert outs["npz"] == outs["raw"]
