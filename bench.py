@@ -69,12 +69,16 @@ REGIMES = {
     "T32": (32, 1_000_000, 42),
     "T1024": (1024, 100_000, 43),
     "F256": (256, 200_000, 44),  # skewed per-target lengths (forest)
+    # toward the real RefSeq shape: many small targets (viral-scale),
+    # [~266k x 2048B] u32 table
+    "T8192": (8192, 20_000, 45),
 }
 
 GROUPS = [
     # (group name, [stage names], weight for budget allocation)
     ("core32", ["kernel_micro", "kernel_T32", "e2e_T32"], 1.3),
-    ("wide", ["kernel_T1024", "e2e_T1024"], 1.0),
+    ("wide", ["kernel_T1024", "e2e_T1024", "kernel_T8192",
+              "e2e_T8192"], 1.0),
     ("extras", ["e2e_forest", "e2e_hierarchy", "e2e_multifilter",
                 "e2e_mixedlen", "e2e_refdata"], 1.0),
 ]
@@ -88,6 +92,8 @@ STAGE_EST = {
     "e2e_T32": 75,
     "kernel_T1024": 60,
     "e2e_T1024": 75,
+    "kernel_T8192": 70,
+    "e2e_T8192": 60,
     "e2e_forest": 75,
     "e2e_hierarchy": 70,
     "e2e_multifilter": 60,
@@ -534,6 +540,24 @@ def st_e2e_T1024():
     return extra
 
 
+def st_kernel_T8192():
+    """Fused kernel at 8192 targets x 20 kbp — the many-small-targets
+    end of the wide-table regime (real RefSeq dbs hold tens of
+    thousands of targets; BASELINE.md north star)."""
+    genomes, ibf, _ = build_database("T8192")
+    return {
+        "kernel_T8192": round(_time_kernel(genomes, ibf, BATCH, 8), 1)
+    }
+
+
+def st_e2e_T8192():
+    n = 65536
+    genomes, _, db = build_database("T8192")
+    fq = _reads_fastq("T8192", genomes, n)
+    v = _time_e2e(_e2e_kw([db], fq, "e2e_T8192"), n)
+    return {"e2e_T8192": round(v, 1)}
+
+
 def st_e2e_forest():
     """HIBF forest db (4 size classes) through the forest fast path —
     the reference's default filter type is hibf (config.py:179)."""
@@ -667,6 +691,8 @@ STAGES = {
     "e2e_T32": st_e2e_T32,
     "kernel_T1024": st_kernel_T1024,
     "e2e_T1024": st_e2e_T1024,
+    "kernel_T8192": st_kernel_T8192,
+    "e2e_T8192": st_e2e_T8192,
     "e2e_forest": st_e2e_forest,
     "e2e_hierarchy": st_e2e_hierarchy,
     "e2e_multifilter": st_e2e_multifilter,

@@ -749,21 +749,51 @@ def threshold_topk(
         T = counts.shape[1]
         idx_c = jnp.uint32(0xFFFF) - jnp.arange(T, dtype=jnp.uint32)
         packed = (fvals.astype(jnp.uint32) << jnp.uint32(16)) | idx_c
-        if winners is not None:
-            # carry the winning-filter id as a sort payload (a
-            # post-hoc [B, K] take_along_axis de-vectorizes on TPU)
-            s, w_s = jax.lax.sort(
-                (packed, winners.astype(jnp.uint32)),
-                dimension=1, num_keys=1, is_stable=False,
-            )
-            top_win = w_s[:, T - k:][:, ::-1].astype(jnp.int32)
+        if k <= 8 and T >= 2048:
+            # iterative masked-argmax extraction: 2k cheap [B, T]
+            # reductions beat the full-width sort at wide T (probe
+            # scripts/argmax_topk_probe.py: 8.9 vs 23.4 ms at
+            # [8192, 8192], k=4) — the engine starts wide tables at
+            # this tier and escalates to the sort on match overflow.
+            # Exact, incl. the descending-count/ascending-index tie
+            # order (the packed value encodes both).
+            rows = jnp.arange(packed.shape[0])
+            tv, ti, tw = [], [], []
+            for _ in range(k):
+                j = jnp.argmax(packed, axis=1)
+                p = jnp.take_along_axis(packed, j[:, None], axis=1)[:, 0]
+                tv.append((p >> jnp.uint32(16)).astype(jnp.int32))
+                ti.append(
+                    (jnp.uint32(0xFFFF) - (p & jnp.uint32(0xFFFF)))
+                    .astype(jnp.int32)
+                )
+                if winners is not None:
+                    tw.append(
+                        jnp.take_along_axis(
+                            winners, j[:, None], axis=1
+                        )[:, 0].astype(jnp.int32)
+                    )
+                packed = packed.at[rows, j].set(0)
+            top_vals = jnp.stack(tv, axis=1)
+            top_idx = jnp.stack(ti, axis=1)
+            if winners is not None:
+                top_win = jnp.stack(tw, axis=1)
         else:
-            s = jax.lax.sort(packed, dimension=1, is_stable=False)
-        top = s[:, T - k:][:, ::-1]
-        top_vals = (top >> 16).astype(jnp.int32)
-        top_idx = (
-            jnp.uint32(0xFFFF) - (top & jnp.uint32(0xFFFF))
-        ).astype(jnp.int32)
+            if winners is not None:
+                # carry the winning-filter id as a sort payload (a
+                # post-hoc [B, K] take_along_axis de-vectorizes on TPU)
+                s, w_s = jax.lax.sort(
+                    (packed, winners.astype(jnp.uint32)),
+                    dimension=1, num_keys=1, is_stable=False,
+                )
+                top_win = w_s[:, T - k:][:, ::-1].astype(jnp.int32)
+            else:
+                s = jax.lax.sort(packed, dimension=1, is_stable=False)
+            top = s[:, T - k:][:, ::-1]
+            top_vals = (top >> 16).astype(jnp.int32)
+            top_idx = (
+                jnp.uint32(0xFFFF) - (top & jnp.uint32(0xFFFF))
+            ).astype(jnp.int32)
     else:
         assert winners is None, "winners requires sort16"
         top_vals, top_idx = jax.lax.top_k(fvals, k)

@@ -431,3 +431,102 @@ def test_commit_device_table_row_major():
         jnp.asarray(tbl8), bs, be, codes, lens, None, None, **kw)
     assert np.array_equal(np.asarray(c1), np.asarray(c2))
     assert np.array_equal(np.asarray(n1), np.asarray(n2))
+
+
+def test_threshold_topk_argmax_tier_matches_oracle():
+    """k<=8 at T>=2048 takes the iterative-argmax tier; results must
+    equal a numpy sort oracle (desc count, asc index ties), with and
+    without the winners payload."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ganon_tpu.classify.device import threshold_topk
+
+    rng = np.random.default_rng(5)
+    B, T, k = 64, 4096, 4
+    counts = rng.integers(0, 300, size=(B, T)).astype(np.int32)
+    counts[rng.random((B, T)) < 0.995] = 0
+    n_hashes = np.full(B, 300, dtype=np.int32)
+    winners = rng.integers(0, 3, size=(B, T)).astype(np.int32)
+
+    res = threshold_topk(
+        jnp.asarray(counts), jnp.asarray(n_hashes), 0.1, 1.0, 65535,
+        top_k=k, sort16=True, winners=jnp.asarray(winners),
+    )
+    tv = np.asarray(res["top_vals"])
+    ti = np.asarray(res["top_idx"])
+    tw = np.asarray(res["top_win"])
+
+    cutoff = np.maximum(np.ceil(n_hashes * 0.1), 1).astype(np.int32)
+    fvals = np.where(counts >= cutoff[:, None], counts, 0)
+    # oracle: desc value, asc index on ties
+    order = np.lexsort((np.arange(T)[None, :].repeat(B, 0), -fvals),
+                       axis=1)[:, :k]
+    want_v = np.take_along_axis(fvals, order, axis=1)
+    assert np.array_equal(tv, want_v)
+    got_v_at_idx = np.take_along_axis(fvals, ti % T, axis=1)
+    assert np.array_equal(np.where(want_v > 0, got_v_at_idx, 0),
+                          want_v)
+    # tie order exact: indices match the lexsort oracle wherever v>0
+    assert np.array_equal(np.where(want_v > 0, ti, 0),
+                          np.where(want_v > 0, order, 0))
+    assert np.array_equal(
+        np.where(want_v > 0, tw, 0),
+        np.where(want_v > 0, np.take_along_axis(winners, order, 1), 0),
+    )
+
+
+def test_wide_table_fast_slow_equality(tmp_path):
+    """2048-target db: the K=4 argmax start tier + overflow escalation
+    must match the host slow path line for line."""
+    import numpy as np
+
+    from ganon_tpu.classify.engine import ClassifyConfig, run_classify
+    from ganon_tpu.index.ibf import build_ibf
+    from ganon_tpu.ops.minimizers import encode_seqs, minimizers_golden
+
+    rng = np.random.default_rng(6)
+    bases = "ACGT"
+    k, w = 10, 12
+    refs = {
+        f"T{i:04d}": "".join(
+            bases[int(b)] for b in rng.integers(0, 4, size=300)
+        )
+        for i in range(2048)
+    }
+    th = {
+        t: np.unique(np.asarray(
+            minimizers_golden(s, k=k, w=w), dtype=np.uint64))
+        for t, s in refs.items()
+    }
+    ibf = build_ibf(th, kmer_size=k, window_size=w, max_fp=0.05)
+    db = str(tmp_path / "wide.ibf")
+    ibf.save(db)
+
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i in range(50):
+            t = f"T{i % 2048:04d}"
+            s = int(rng.integers(0, 240))
+            f.write(f"@q{i}\n{refs[t][s:s + 60]}\n+\n{'I' * 60}\n")
+
+    outs = {}
+    for mode in (True, False):
+        out = str(tmp_path / f"w{mode}")
+        run_classify(ClassifyConfig(
+            ibf=[db], single_reads=[str(fq)], output_prefix=out,
+            # lax thresholds force multi-matches (fp hits) so the
+            # overflow escalation from K=4 fires too
+            rel_cutoff=[0.1], rel_filter=[1.0], fpr_query=[1.0],
+            output_all=True, output_unclassified=True,
+            device_thresholding=mode,
+        ))
+        res = {}
+        for ext in (".all", ".one", ".unc", ".rep"):
+            import os
+
+            if os.path.exists(out + ext):
+                with open(out + ext) as f:
+                    res[ext] = sorted(f.read().splitlines())
+        outs[mode] = res
+    assert outs[True] == outs[False]
