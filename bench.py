@@ -11,7 +11,7 @@ bench exited rc=3 with nothing).
 
 Stage groups (later groups are dropped first when the budget runs out):
   core32  : kernel_micro, kernel_T32, e2e_T32 (the headline)
-  wide    : kernel_T1024, e2e_T1024
+  wide    : kernel_T1024, e2e_T1024, kernel_T8192, e2e_T8192
   extras  : e2e_forest, e2e_hierarchy, e2e_multifilter,
             e2e_mixedlen, e2e_refdata
 
@@ -20,6 +20,8 @@ family digest):
   * T32:   32 targets x 1 Mbp — VMEM-staged regime.
   * T1024: 1024 targets x 100 kbp — wide-table HBM/u32 regime (the
     realistic RefSeq-subset shape; BASELINE.md north star).
+  * T8192: 8192 targets x 20 kbp — many small targets (viral-scale;
+    exercises the wide-T argmax top-K tier).
   * F256:  256 targets, skewed lengths 10-200 kbp — HIBF forest regime
     (4 size classes; the reference's default filter type is hibf).
   * T32 halves: 2 x 16 targets — the two-level hierarchy regime with
