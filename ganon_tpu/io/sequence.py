@@ -16,13 +16,17 @@ from dataclasses import dataclass, field
 
 
 def xopen(path: str, mode: str = "rt"):
-    """Open plain, gzip or bzip2 files by magic bytes."""
+    """Open plain, gzip, bzip2 or xz files by magic bytes."""
     with open(path, "rb") as probe:
-        magic = probe.read(3)
+        magic = probe.read(6)
     if magic[:2] == b"\x1f\x8b":
         return gzip.open(path, mode)
-    if magic == b"BZh":
+    if magic[:3] == b"BZh":
         return bz2.open(path, mode)
+    if magic == b"\xfd7zXZ\x00":
+        import lzma
+
+        return lzma.open(path, mode)
     return open(path, mode)
 
 

@@ -112,3 +112,35 @@ def test_parallel_reader_error_propagates(tmp_path):
     input_map["T9"] = [str(bad)]
     with pytest.raises(Exception):
         _collect(input_map, threads=4)
+
+
+def test_xz_input_matches_plain(tmp_path):
+    """xz-compressed fastq reads identically to the plain file (the
+    native reader bows out for .xz; the Python xopen handles it by
+    magic bytes)."""
+    import lzma
+
+    import numpy as np
+
+    from ganon_tpu.io.pipeline import encoded_batches
+
+    payload = b"".join(
+        b"@q%d\nACGTACGTACGTACGT\n+\nIIIIIIIIIIIIIIII\n" % i
+        for i in range(25)
+    )
+    plain = tmp_path / "r.fq"
+    plain.write_bytes(payload)
+    xz = tmp_path / "r.fq.xz"
+    xz.write_bytes(lzma.compress(payload))
+
+    def collect(p):
+        ids, codes = [], []
+        for b in encoded_batches(str(p), None, "", 8, use_native=False):
+            ids.extend(b.ids)
+            codes.append(b.codes1)
+        return ids, np.concatenate(codes)
+
+    ids_p, c_p = collect(plain)
+    ids_x, c_x = collect(xz)
+    assert ids_p == ids_x == [f"q{i}" for i in range(25)]
+    assert np.array_equal(c_p, c_x)
