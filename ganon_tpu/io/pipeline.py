@@ -136,11 +136,21 @@ def _python_batches(file1, file2, prefix, n_reads):
 
 
 def native_supported(*paths) -> bool:
-    """The C++ reader handles plain and gzip files (zlib); bz2/xz need
-    the Python reader."""
-    return not any(
-        p and (p.endswith(".bz2") or p.endswith(".xz")) for p in paths
-    )
+    """The C++ reader handles plain and gzip files (zlib's gzopen is
+    magic-transparent); bz2/xz need the Python reader. Sniff MAGIC, not
+    extension — a bz2 file named plain would otherwise reach the native
+    reader and parse as garbage."""
+    for p in paths:
+        if not p:
+            continue
+        try:
+            with open(p, "rb") as f:
+                magic = f.read(6)
+        except OSError:
+            continue  # let the chosen reader raise the real error
+        if magic[:3] == b"BZh" or magic == b"\xfd7zXZ\x00":
+            return False
+    return True
 
 
 def encoded_batches(file1, file2, prefix, n_reads, use_native=True):

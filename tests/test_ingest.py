@@ -144,3 +144,18 @@ def test_xz_input_matches_plain(tmp_path):
     ids_x, c_x = collect(xz)
     assert ids_p == ids_x == [f"q{i}" for i in range(25)]
     assert np.array_equal(c_p, c_x)
+
+
+def test_misnamed_bz2_routes_to_python_reader(tmp_path):
+    """A bz2 file without the .bz2 extension must still route to the
+    Python reader (magic sniffing) and parse correctly."""
+    import bz2
+
+    from ganon_tpu.io.pipeline import encoded_batches, native_supported
+
+    payload = b"@q0\nACGTACGT\n+\nIIIIIIII\n"
+    p = tmp_path / "reads.fq"  # lies about its format
+    p.write_bytes(bz2.compress(payload))
+    assert not native_supported(str(p))
+    batches = list(encoded_batches(str(p), None, "", 8))
+    assert [i for b in batches for i in b.ids] == ["q0"]
