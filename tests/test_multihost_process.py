@@ -102,3 +102,66 @@ def test_two_process_distributed_classify(tmp_path):
     ts = rep_totals(solo + ".rep")
     for key in ts:
         assert t0.get(key, 0) + t1.get(key, 0) == ts[key], key
+
+
+def test_two_process_single_file_striping(tmp_path):
+    """ONE input file across 2 real jax.distributed processes: hosts
+    take record stripes (parallel/multihost record-range sharding) and
+    the merged outputs equal the single-process run."""
+    rng = random.Random(11)
+    refs = {
+        f"T{i}": "".join(rng.choice("ACGT") for _ in range(400))
+        for i in range(5)
+    }
+    db = build_db(tmp_path, refs, k=10, w=12, max_fp=0.01)
+    names = sorted(refs)
+    reads = {}
+    for i in range(50):
+        t = names[i % len(names)]
+        s = rng.randint(0, 330)
+        reads[f"q{i}"] = refs[t][s : s + rng.randint(20, 60)]
+    fq = str(tmp_path / "big.fq")
+    write_fastq(fq, reads)
+
+    from ganon_tpu.classify.engine import ClassifyConfig, run_classify
+
+    solo = str(tmp_path / "solo1")
+    run_classify(ClassifyConfig(
+        ibf=[db], single_reads=[fq], output_prefix=solo,
+        rel_cutoff=[0.3], output_all=True, output_unclassified=True,
+    ))
+
+    port = _free_port()
+    out = str(tmp_path / "dist1")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "ganon_tpu.cli", "classify",
+             "--db-prefix", db[:-4], "--single-reads", fq,
+             "--output-prefix", out, "--output-all",
+             "--output-unclassified", "--rel-cutoff", "0.3",
+             "--distributed"],
+            env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        ))
+    outs = [p.communicate(timeout=280) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+
+    for ext in (".all", ".unc"):
+        merged = sorted(map(tuple, read_tsv(out + ".h0" + ext)))
+        merged += sorted(map(tuple, read_tsv(out + ".h1" + ext)))
+        want = sorted(map(tuple, read_tsv(solo + ext)))
+        assert sorted(merged) == want, ext
+    # both stripes actually did work (no idle host)
+    n0 = len(read_tsv(out + ".h0.all")) + len(read_tsv(out + ".h0.unc"))
+    n1 = len(read_tsv(out + ".h1.all")) + len(read_tsv(out + ".h1.unc"))
+    assert n0 > 0 and n1 > 0
