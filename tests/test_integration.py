@@ -290,3 +290,48 @@ def test_report_and_table_cli(mini_data, tmp_path):
         )
     )
     assert os.path.isfile(tbl)
+
+
+def test_cli_flag_parity_with_reference():
+    """Every reference CLI flag exists here (mechanically extracted
+    from the reference's argparse calls); our extras are the known
+    TPU-framework additions only."""
+    import ast
+    import os
+
+    import pytest
+
+    ref_cfg = "/root/reference/src/ganon/config.py"
+    if not os.path.isfile(ref_cfg):
+        pytest.skip("reference source not mounted")
+
+    def flags_of(path):
+        out = set()
+        for node in ast.walk(ast.parse(open(path).read())):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "add_argument"
+            ):
+                for a in node.args:
+                    if (
+                        isinstance(a, ast.Constant)
+                        and isinstance(a.value, str)
+                        and a.value.startswith("--")
+                    ):
+                        out.add(a.value)
+        return out
+
+    ref = flags_of(ref_cfg)
+    ours = flags_of(
+        os.path.join(os.path.dirname(__file__), "..", "ganon_tpu",
+                     "config.py")
+    )
+    assert ref - ours == set(), f"reference flags missing: {ref - ours}"
+    assert ours - ref == {
+        # documented TPU-framework extensions
+        "--distributed", "--filter-format", "--longreads",
+        "--no-length-bucketing", "--pipeline-depth",
+        "--reassign-max-iter", "--reassign-threshold",
+        "--tax-root-node", "--top-k-matches", "--tpu-sizing",
+    }, f"undocumented extra flags: {ours - ref}"
