@@ -749,12 +749,13 @@ def threshold_topk(
         T = counts.shape[1]
         idx_c = jnp.uint32(0xFFFF) - jnp.arange(T, dtype=jnp.uint32)
         packed = (fvals.astype(jnp.uint32) << jnp.uint32(16)) | idx_c
-        if k <= 8 and T >= 2048:
+        if k <= 8 and T >= 4096:
             # iterative masked-argmax extraction: 2k cheap [B, T]
             # reductions beat the full-width sort at wide T (probe
             # scripts/argmax_topk_probe.py: 8.9 vs 23.4 ms at
-            # [8192, 8192], k=4) — the engine starts wide tables at
-            # this tier and escalates to the sort on match overflow.
+            # [8192, 8192] k=4; 5.7 vs 8.9 at T=4096; the sort still
+            # wins at T=2048, 1.4 vs 3.1 ms) — the engine starts wide
+            # tables at this tier and escalates on match overflow.
             # Exact, incl. the descending-count/ascending-index tie
             # order (the packed value encodes both).
             rows = jnp.arange(packed.shape[0])

@@ -308,11 +308,11 @@ class LevelContext:
         # cutoffs most reads carry a handful of matches — start small
         # and escalate to cfg.top_k_matches only when a batch overflows
         # (the escalation is sticky for the rest of the level).
-        # Wide tables (union >= 2048 targets) start at K=4: that keeps
+        # Wide tables (union >= 4096 targets) start at K=4: that keeps
         # threshold_topk on the iterative-argmax tier (2.6x cheaper
         # than the full-width sort at [8192, 8192]; device.py) and the
         # overflow path escalates exactly as before.
-        start_k = 4 if len(self.union_targets) >= 2048 else 32
+        start_k = 4 if len(self.union_targets) >= 4096 else 32
         self.top_k_current = min(start_k, cfg.top_k_matches)
         # ragged match transfer: average compacted slots per read
         # (device.classify_batch_packed match_cap). 2 slots/read covers

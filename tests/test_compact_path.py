@@ -477,7 +477,7 @@ def test_threshold_topk_argmax_tier_matches_oracle():
 
 
 def test_wide_table_fast_slow_equality(tmp_path):
-    """2048-target db: the K=4 argmax start tier + overflow escalation
+    """4096-target db: the K=4 argmax start tier + overflow escalation
     must match the host slow path line for line."""
     import numpy as np
 
@@ -492,7 +492,7 @@ def test_wide_table_fast_slow_equality(tmp_path):
         f"T{i:04d}": "".join(
             bases[int(b)] for b in rng.integers(0, 4, size=300)
         )
-        for i in range(2048)
+        for i in range(4096)
     }
     th = {
         t: np.unique(np.asarray(
@@ -506,7 +506,7 @@ def test_wide_table_fast_slow_equality(tmp_path):
     fq = tmp_path / "r.fq"
     with open(fq, "w") as f:
         for i in range(50):
-            t = f"T{i % 2048:04d}"
+            t = f"T{i % 4096:04d}"
             s = int(rng.integers(0, 240))
             f.write(f"@q{i}\n{refs[t][s:s + 60]}\n+\n{'I' * 60}\n")
 
