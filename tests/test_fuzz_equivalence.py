@@ -93,7 +93,7 @@ def _oracle_counts(db_path, refs, reads1, reads2, k, w):
     return out
 
 
-@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+@pytest.mark.parametrize("seed", [101, 202, 303, 404, 505, 606])
 def test_fuzz_fast_slow_oracle(tmp_path, seed):
     rng = random.Random(seed)
     k = rng.choice([8, 10, 12])
@@ -220,7 +220,7 @@ def _oracle_counts_hibf(db_path, reads1, reads2, k, w):
     return out
 
 
-@pytest.mark.parametrize("seed", [111, 222])
+@pytest.mark.parametrize("seed", [111, 222, 333])
 def test_fuzz_forest_fast_slow_oracle(tmp_path, seed):
     """Same differential rig through the HIBF forest path (the
     reference's default filter type): device fast path == host slow
