@@ -709,11 +709,21 @@ STAGES = {
 
 def child_main(stage_names, deadline_at):
     import jax
+    import jax.numpy as jnp
 
     from ganon_tpu.index.device_build import enable_compile_cache
 
     enable_compile_cache()
     log(f"child device: {jax.devices()[0]}")
+    # absorb the tunnel backend's per-process first-execution stall
+    # with the smallest possible program: the stall's duration scales
+    # with the first program executed (trivial op 4-35 s vs 140-480 s
+    # for the big fused classify; measured, docs/perf_notes.md
+    # "First-execution stall") and only the FIRST execution in a
+    # process pays it
+    t0 = time.time()
+    jax.block_until_ready(jnp.ones((8,), jnp.float32).sum())
+    log(f"device first-execution warmup: {time.time() - t0:.1f}s")
     for name in stage_names:
         remaining = deadline_at - time.time() if deadline_at else float("inf")
         est = STAGE_EST.get(name, 60)
