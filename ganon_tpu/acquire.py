@@ -244,6 +244,8 @@ def select_assemblies(
     top=0,
     gtdb=False,
     assembly_levels=(),
+    date_start="",
+    date_end="",
     workdir=".",
     quiet=True,
 ) -> pd.DataFrame:
@@ -265,6 +267,15 @@ def select_assemblies(
         ]
     if reference_genomes:
         summary = summary[summary["refseq_category"] == "reference genome"]
+    if date_start or date_end:
+        # genome_updater -D start_date:end_date (seq_rel_date is
+        # YYYY/MM/DD, so string comparison orders correctly)
+        d = summary["seq_rel_date"].str.replace("-", "/")
+        if date_start:
+            summary = summary[d >= date_start.replace("-", "/")]
+            d = summary["seq_rel_date"].str.replace("-", "/")
+        if date_end:
+            summary = summary[d <= date_end.replace("-", "/")]
     if gtdb:
         summary = _filter_gtdb(summary, workdir, quiet)
     if top:

@@ -291,3 +291,30 @@ def test_acquire_assembly_levels_filter(tmp_path):
     )
     assert set(sel["assembly_level"]) == {lv}
     assert len(sel) <= len(sel_all)
+
+
+def test_acquire_date_range_filter(tmp_path):
+    """genome_updater -D analogue: seq_rel_date range selection."""
+    from ganon_tpu import acquire
+
+    out = str(tmp_path / "repo")
+    sel = acquire.select_assemblies(
+        ["genbank"], organism_groups=["archaea", "bacteria", "viral"],
+        workdir=out, quiet=True,
+    )
+    dates = sorted(set(sel["seq_rel_date"].str.replace("-", "/")))
+    assert len(dates) >= 2, "fake repo needs distinct dates for this test"
+    cut = dates[len(dates) // 2]
+    early = acquire.select_assemblies(
+        ["genbank"], organism_groups=["archaea", "bacteria", "viral"],
+        date_end=cut, workdir=out, quiet=True,
+    )
+    late = acquire.select_assemblies(
+        ["genbank"], organism_groups=["archaea", "bacteria", "viral"],
+        date_start=cut, workdir=out, quiet=True,
+    )
+    assert (early["seq_rel_date"].str.replace("-", "/") <= cut).all()
+    assert (late["seq_rel_date"].str.replace("-", "/") >= cut).all()
+    # the cut row appears on both sides; union covers everything
+    acc = set(early["assembly_accession"]) | set(late["assembly_accession"])
+    assert acc == set(sel["assembly_accession"])
