@@ -51,6 +51,7 @@ ASSEMBLY_SUMMARY_COLS = [
 HISTORY_COLS = [
     "version", "source", "organism_group", "taxid", "complete_genomes",
     "reference_genomes", "top", "gtdb", "assembly_levels",
+    "date_start", "date_end",
 ]
 
 
@@ -364,6 +365,8 @@ def acquire(
     top=0,
     gtdb=False,
     assembly_levels=(),
+    date_start="",
+    date_end="",
     threads: int = 1,
     quiet: bool = True,
 ) -> str:
@@ -376,6 +379,7 @@ def acquire(
     summary = select_assemblies(
         sources, organism_groups, taxids, complete_genomes,
         reference_genomes, top, gtdb, assembly_levels,
+        date_start, date_end,
         workdir=version_folder, quiet=quiet,
     )
     print_log(f" - {summary.shape[0]} assemblies selected", quiet)
@@ -413,6 +417,8 @@ def acquire(
         "top": int(top or 0),
         "gtdb": int(bool(gtdb)),
         "assembly_levels": ",".join(assembly_levels or []),
+        "date_start": date_start,
+        "date_end": date_end,
     })
     return version
 
@@ -433,6 +439,8 @@ def acquire_update(output_folder: str, threads: int = 1,
         top=int(last.get("top") or 0),
         gtdb=bool(int(last.get("gtdb") or 0)),
         assembly_levels=split(last.get("assembly_levels") or ""),
+        date_start=last.get("date_start") or "",
+        date_end=last.get("date_end") or "",
         threads=threads,
         quiet=quiet,
     )
