@@ -1,19 +1,22 @@
 """Classification throughput benchmark on one TPU chip — honest regimes.
 
-Architecture (round 4): a PARENT orchestrator (no jax) spawns CHILD
-processes per stage group, each with its own slice of the deadline
-budget. Children print one ``BENCHSTAGE {json}`` line per completed
-stage; the parent folds those into the metric line and RE-EMITS it
-after every stage, so a stall in any stage can never leave the run
-without a number (round-3 post-mortem: a single 478 s cold XLA compile
-ate the whole 480 s budget before the first stage finished and the
-bench exited rc=3 with nothing).
+Architecture (round 4): a PARENT orchestrator (no jax) runs ONE CHILD
+process over all stages under the deadline (the tunnel backend charges
+a randomly long 6-480 s first-execution stall PER PROCESS — server-side
+remote compile — so one child pays it once; a crashed child is
+relaunched with the remaining stages, dropping the one in flight). The
+child prints one ``BENCHSTAGE {json}`` line per completed stage; the
+parent folds those into the metric line and RE-EMITS it after every
+stage, so a stall can never leave the run without a number (round-3
+post-mortem: one long first execution ate the whole 480 s budget before
+any stage finished and the bench exited rc=3 with nothing).
 
-Stage groups (later groups are dropped first when the budget runs out):
-  core32  : kernel_micro, e2e_T32 (the headline), kernel_T32
-  wide    : kernel_T1024, e2e_T1024, kernel_T8192, e2e_T8192
-  extras  : e2e_forest, e2e_hierarchy, e2e_multifilter,
-            e2e_mixedlen, e2e_refdata
+Stage order (earliest = most protected; the headline right after the
+stall-absorbing micro stage):
+  kernel_micro, e2e_T32 (the headline), kernel_T32,
+  kernel_T1024, e2e_T1024, kernel_T8192, e2e_T8192,
+  e2e_forest, e2e_hierarchy, e2e_multifilter, e2e_mixedlen,
+  e2e_refdata
 
 Databases (cached under .bench_cache/, keyed by sizing policy + hash
 family digest):
@@ -798,29 +801,38 @@ def parent_main():
     extra: dict = {}
     _emit(extra)  # a parseable line exists from second 0
 
-    groups = GROUPS
     if only:
-        wanted = [s.strip() for s in only.split(",") if s.strip()]
-        groups = [("custom", wanted, 1.0)]
+        pending = [s.strip() for s in only.split(",") if s.strip()]
+    else:
+        pending = [s for _, stages, _ in GROUPS for s in stages]
 
-    weights = [w for _, _, w in groups]
-    for gi, (gname, stages, w) in enumerate(groups):
+    # ONE child runs ALL stages: the tunnel backend charges a randomly
+    # long (6-480 s) first-execution stall PER PROCESS (server-side
+    # remote compile; docs/perf_notes.md), so per-group children paid
+    # it three times and a degraded window could eat whole groups.
+    # A crashed/hung child is relaunched with the remaining stages —
+    # minus the stage that was in flight, which is not retried.
+    import threading
+
+    completed: set = set()
+    attempt = 0
+    while pending and attempt < 4:
+        attempt += 1
         if deadline:
             remaining = deadline - (time.time() - t_start) - reserve
             if remaining <= 20:
-                log(f"group {gname} skipped: {remaining:.0f}s left")
-                continue
-            budget = remaining * w / sum(weights[gi:])
+                log(f"{len(pending)} stages skipped: {remaining:.0f}s left")
+                break
+            deadline_at = time.time() + remaining
         else:
-            budget = None
-        deadline_at = time.time() + budget if budget else 0
+            remaining, deadline_at = None, 0
         log(
-            f"=== group {gname}: {stages} "
-            f"(budget {budget and round(budget)}s)"
+            f"=== child {attempt}: {pending} "
+            f"(budget {remaining and round(remaining)}s)"
         )
         cmd = [
             sys.executable, os.path.abspath(__file__),
-            "--child", ",".join(stages), str(deadline_at),
+            "--child", ",".join(pending), str(deadline_at),
         ]
         try:
             proc = subprocess.Popen(
@@ -828,33 +840,49 @@ def parent_main():
                 text=True, start_new_session=True, cwd=REPO,
             )
         except Exception as e:
-            log(f"group {gname} spawn failed: {e!r}")
-            continue
-
-        import threading
+            log(f"child spawn failed: {e!r}")
+            break
 
         def pump(p=proc):
             for line in p.stdout:
                 line = line.strip()
                 if line.startswith("BENCHSTAGE "):
                     try:
-                        extra.update(json.loads(line[len("BENCHSTAGE "):]))
+                        payload = json.loads(line[len("BENCHSTAGE "):])
                     except Exception:
                         continue
+                    extra.update(payload)
+                    completed.update(
+                        k for k in payload if k in STAGE_EST
+                    )
                     _emit(extra)
 
         t = threading.Thread(target=pump, daemon=True)
         t.start()
+        killed = False
         try:
-            proc.wait(timeout=(budget + 20) if budget else None)
+            proc.wait(timeout=(remaining + 15) if remaining else None)
         except subprocess.TimeoutExpired:
-            log(f"group {gname} over budget; killing")
+            log("child over deadline; killing")
+            killed = True
             try:
                 os.killpg(proc.pid, 9)
             except Exception:
                 proc.kill()
             proc.wait()
         t.join(timeout=5)
+
+        survivors = [s for s in pending if s not in completed]
+        if not survivors or killed:
+            break
+        if proc.returncode == 0:
+            # clean exit with stages left = the child's own budget
+            # checks skipped them deliberately; nothing more to gain
+            break
+        # crash: drop the in-flight stage (first survivor), retry rest
+        log(f"child died (rc={proc.returncode}) in stage "
+            f"{survivors[0]}; continuing without it")
+        pending = survivors[1:]
 
     _emit(extra)
     sys.exit(0)
