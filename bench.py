@@ -763,19 +763,26 @@ def _emit(extra):
     to 0.0 (a visible failure that still parses — never rc!=0 with no
     line; reference stats always print, GanonClassify.cpp:1091-1128).
     """
-    # all e2e stages classify paired 150 bp reads, so any of them is an
-    # honest headline when an earlier group lost its stages to a
-    # first-execution stall; kernels are the last resort before 0
+    # every fallback stage carries its own bp-per-read so the Mbp/m
+    # conversion (and vs_baseline) never assumes the wrong read length
+    # for a substituted headline; all current candidates are paired
+    # 150 bp (incl. refdata: the reference sim reads are 2 x 150 bp),
+    # but the table is the contract, not the coincidence
+    stage_bp = {
+        "e2e_T32": 2 * READ_LEN, "e2e_T1024": 2 * READ_LEN,
+        "e2e_forest": 2 * READ_LEN, "e2e_refdata": 2 * 150,
+        "e2e_multifilter": 2 * READ_LEN, "e2e_hierarchy": 2 * READ_LEN,
+        "kernel_T32": 2 * READ_LEN, "kernel_T1024": 2 * READ_LEN,
+        "kernel_micro": 2 * READ_LEN,
+    }
     e2e32, used = 0.0, "none"
-    for key in ("e2e_T32", "e2e_T1024", "e2e_forest", "e2e_refdata",
-                "e2e_multifilter", "e2e_hierarchy", "kernel_T32",
-                "kernel_T1024", "kernel_micro"):
+    for key in stage_bp:
         if extra.get(key):
             e2e32, used = extra[key], key
             break
     if used != "none":
         extra = dict(extra, headline_stage=used)
-    mbp_per_min = e2e32 * 2 * READ_LEN / 1e6 * 60
+    mbp_per_min = e2e32 * stage_bp.get(used, 0) / 1e6 * 60
     print(
         json.dumps(
             {

@@ -482,7 +482,14 @@ def rollback(output_folder: str, version: str | None = None) -> str:
     versions = [r["version"] for r in history]
     cur = current_version(output_folder)
     if version is None:
-        earlier = [v for v in versions if v < cur]
+        # "earlier" by position in the append-only history, not by
+        # lexicographic name comparison (a rollback row re-appends an
+        # old version name at the end, so names are not ordered)
+        try:
+            i = len(versions) - 1 - versions[::-1].index(cur)
+        except ValueError:
+            i = len(versions)
+        earlier = [v for v in versions[:i] if v != cur]
         if not earlier:
             raise ValueError("no earlier snapshot to roll back to")
         version = earlier[-1]
@@ -492,7 +499,8 @@ def rollback(output_folder: str, version: str | None = None) -> str:
     if not os.path.isfile(os.path.join(output_folder, target_summary)):
         raise ValueError(f"snapshot {version} has no assembly_summary.txt")
     top_link = os.path.join(output_folder, "assembly_summary.txt")
-    os.remove(top_link)
+    if os.path.islink(top_link) or os.path.exists(top_link):
+        os.remove(top_link)
     os.symlink(target_summary, top_link)
     row = next(r for r in history if r["version"] == version)
     _append_history(output_folder, row)

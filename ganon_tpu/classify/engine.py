@@ -474,21 +474,24 @@ def run_classify(cfg: ClassifyConfig) -> dict:
     leftovers: list[ReadBatch] = []
 
     level_labels = list(levels.keys())
+    n_reads = cfg.n_reads  # run-local: never mutate the caller's config
     for li, label in enumerate(level_labels):
         level = levels[label]
         first = li == 0
         last = li == len(level_labels) - 1
         ctx = LevelContext(level, cfg, mesh)
-        if first and not cfg.n_reads:
+        if first and not n_reads:
             # auto batch size by table regime: the VMEM-staged (u8)
             # table pays one HBM->VMEM staging copy per dispatch
             # (1.8 ms at 87 MB, round-4 trace), so bigger batches
             # amortize it (+7% kernel at 16384); the HBM/u32 regime is
-            # gather-bound and indifferent (measured slightly worse)
+            # gather-bound and indifferent (measured slightly worse).
+            # Resolved into a local, NOT written back to cfg: a config
+            # reused against a different database must re-derive.
             staged = all(
                 getattr(f, "vmem_staged", False) for f in ctx.filters
             )
-            cfg.n_reads = 16384 if staged else 8192
+            n_reads = 16384 if staged else 8192
         rep: dict[tuple[str, str], Rep] = {}
         next_leftovers: list[ReadBatch] = []
 
@@ -513,7 +516,7 @@ def run_classify(cfg: ClassifyConfig) -> dict:
                     for prefix, files in reads_config.items():
                         for f1, f2 in files:
                             yield from encoded_batches(
-                                f1, f2, prefix, cfg.n_reads
+                                f1, f2, prefix, n_reads
                             )
 
                 # reader/encoder runs on a background thread (SafeQueue
@@ -526,7 +529,7 @@ def run_classify(cfg: ClassifyConfig) -> dict:
                         stream, cfg.read_stride, cfg.read_offset
                     )
                 if cfg.length_bucketing:
-                    stream = bucketed_batches(stream, cfg.n_reads)
+                    stream = bucketed_batches(stream, n_reads)
                 for b in ThreadedBatchSource(stream):
                     totals[b.prefix].input_seqs += len(b)
                     yield b
@@ -536,7 +539,7 @@ def run_classify(cfg: ClassifyConfig) -> dict:
                 # back to full n_reads batches (also re-buckets by
                 # length, since survivors of different buckets merge)
                 yield from bucketed_batches(
-                    iter(leftovers), cfg.n_reads, coalesce=True
+                    iter(leftovers), n_reads, coalesce=True
                 )
             else:
                 yield from leftovers

@@ -119,7 +119,9 @@ class HIBF:
         # header size (offsets are fixed-width ints, so re-serializing
         # with real values cannot change the length — they are padded)
         for m in metas:
-            m["bits_offset"] = 0xFFFFFFFFFFFF  # 12-digit placeholder
+            # 2^48-1 serializes to 15 decimal digits; real offsets are
+            # always shorter and the ljust below pads the header back
+            m["bits_offset"] = 0xFFFFFFFFFFFF
         blob = json.dumps(header | {"subs": metas}).encode()
         data_start = len(RAW_MAGIC) + 8 + len(blob)
         data_start += -data_start % 4096

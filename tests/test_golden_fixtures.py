@@ -99,6 +99,97 @@ def test_ibf_writer_reproduces_bytes(name, meta, tmp_path):
     assert out.read_bytes() == _raw(name)
 
 
+def test_hibf_hex_layout(meta):
+    """Hand-walked raptor ``.hibf`` layout at explicit byte offsets —
+    pins the container independently of serialize.py (the reader/writer
+    only round-trip each other otherwise). Layout per
+    GanonClassify.cpp:875-938 (cereal: version, window, shape, parts,
+    compressed, bin_path, fpr, is_hibf, HIBF{ibfs, next_ibf_id,
+    user_bin_filenames, filename_position_to_ibf_bin}); seqan3 IBF
+    fields per the reference's load_filter expectations."""
+    raw = _raw("golden.hibf")
+    assert _sha(raw) == meta["golden.hibf"]["file_sha256"]
+    o = 0
+
+    def u64():
+        nonlocal o
+        (v,) = struct.unpack_from("<Q", raw, o)
+        o += 8
+        return v
+
+    def u8():
+        nonlocal o
+        v = raw[o]
+        o += 1
+        return v
+
+    (version,) = struct.unpack_from("<I", raw, o)
+    o += 4
+    assert version == 3  # raptor 3.x index version
+    window = u64()
+    assert window == meta["window_size"]
+    # seqan3 shape (ungapped k-mer): k bits, all set -> (k, 2^k - 1)
+    k, shape_bits = u64(), u64()
+    assert k == meta["kmer_size"]
+    assert shape_bits == (1 << k) - 1
+    assert u8() == 1  # parts
+    assert u8() == 0  # uncompressed
+    n_paths = u64()
+    paths = []
+    for _ in range(n_paths):
+        assert u64() == 1  # one file per user bin
+        ln = u64()
+        paths.append(raw[o:o + ln].decode())
+        o += ln
+    # raptor mangles names: '.'->'|||', ' '->'---', + '.minimiser'
+    # (build_update.py:419-457; undone at load GanonClassify.cpp:920-928)
+    unmangled = [
+        p.removesuffix(".minimiser").replace("|||", ".").replace("---", " ")
+        for p in paths
+    ]
+    assert sorted(unmangled) == sorted(meta["golden.hibf"]["refs"])
+    (fpr,) = struct.unpack_from("<d", raw, o)
+    o += 8
+    assert 0 < fpr <= 1
+    assert u8() == 1  # is_hibf
+    n_ibfs = u64()
+    assert n_ibfs >= 2  # root + >=1 child
+    for _ in range(n_ibfs):
+        bins = u64()
+        technical_bins = u64()
+        bin_size = u64()
+        hash_shift = u64()
+        bin_words = u64()
+        hash_funs = u64()
+        assert technical_bins % 64 == 0
+        assert 0 < bins <= technical_bins
+        # seqan3 invariants: hash_shift = clz64(bin_size),
+        # bin_words = technical_bins / 64
+        assert hash_shift == 64 - bin_size.bit_length()
+        assert bin_words == technical_bins // 64
+        assert 1 <= hash_funs <= 5
+        nbits = u64()  # sdsl bit_vector: size in BITS, then u64 words
+        assert nbits == technical_bins * bin_size
+        o += (nbits // 64) * 8
+    n_next = u64()
+    assert n_next == n_ibfs
+    for _ in range(n_next):
+        m = u64()
+        o += m * 8
+    n_files = u64()
+    assert n_files == n_paths
+    for p in paths:
+        ln = u64()
+        assert raw[o:o + ln].decode() == p
+        o += ln
+    n_b2f = u64()
+    assert n_b2f == n_ibfs
+    for _ in range(n_b2f):
+        m = u64()
+        o += m * 8
+    assert o == len(raw)  # exhaustive: no trailing bytes
+
+
 def test_hibf_writer_reproduces_bytes(meta, tmp_path):
     from ganon_tpu.index.serialize import read_raptor_hibf, write_raptor_hibf
 

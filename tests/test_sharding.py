@@ -70,6 +70,30 @@ def test_graft_entry():
     mod.dryrun_multichip(len(jax.devices()))
 
 
+def test_dryrun_multichip_n16():
+    """The full dryrun value checks (sharded classify, forest, build
+    scatter vs single-device) at n=16 — past the first power of two the
+    rest of the suite runs at (conftest pins 8 virtual devices), so
+    collective/sharding issues that only appear at wider meshes are
+    caught in-suite. Runs in a subprocess because the device count is
+    fixed at backend init."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(16); print('OK16')"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK16" in r.stdout
+
+
 def test_engine_mesh_outputs_match_single_device(tmp_path):
     """Full engine run over the 8-device mesh == single-device outputs."""
     import numpy as np
