@@ -87,7 +87,7 @@ GROUPS = [
     ("wide", ["kernel_T1024", "e2e_T1024", "kernel_T8192",
               "e2e_T8192"], 1.0),
     ("extras", ["e2e_forest", "e2e_hierarchy", "e2e_multifilter",
-                "e2e_mixedlen", "e2e_refdata"], 1.0),
+                "e2e_mixedlen", "build", "e2e_refdata"], 1.0),
 ]
 
 # conservative WARM-cache wall-clock estimates per stage (seconds); a
@@ -105,6 +105,7 @@ STAGE_EST = {
     "e2e_hierarchy": 45,
     "e2e_multifilter": 40,
     "e2e_mixedlen": 60,
+    "build": 55,
     "e2e_refdata": 110,  # ~100k pairs x 4 passes + db load
 }
 
@@ -626,6 +627,51 @@ def st_e2e_mixedlen():
     }
 
 
+def st_build():
+    """Driver-visible build throughput (the reference always prints
+    build Mbp/m — GanonBuild.cpp:700-720; ours previously lived only in
+    docs/perf_notes.md "Build at scale", so a build regression was
+    invisible to the driver). Synthetic 64 Mbp through the production
+    device build pipeline: ingest + count pass + sizing + scatter +
+    bit-matrix fetch; random-sequence generation time is excluded
+    (input synthesis, not build work)."""
+    from ganon_tpu.index import sizing as _sizing
+    from ganon_tpu.index.device_build import CHUNK, DeviceBuildPipeline
+
+    total_bp = 64_000_000
+    n_targets = 32
+    rng = np.random.default_rng(21)
+    per_target = total_bp // n_targets
+    pipe = DeviceBuildPipeline(K, W)
+    t0 = time.time()
+    gen = 0.0
+    try:
+        for t in range(n_targets):
+            remaining = per_target
+            while remaining > 0:
+                n = min(CHUNK, remaining)
+                g0 = time.time()
+                piece = rng.integers(0, 4, size=n, dtype=np.uint8)
+                gen += time.time() - g0
+                pipe.add_encoded((f"T{t}", 0), piece)
+                remaining -= n - (W - 1) if n == CHUNK else remaining
+        pipe.finish_counts()
+        hashes_count = {t: c for t, c in pipe.hashes_count().items() if c}
+        icfg = _sizing.size_filter(
+            hashes_count, kmer_size=K, window_size=W, max_fp=0.05
+        )
+        bits = np.asarray(pipe.scatter(icfg))
+        assert bits.any()
+    finally:
+        pipe.close()
+    wall = time.time() - t0 - gen
+    mbpm = total_bp / 1e6 / (wall / 60)
+    return {
+        "build_mbp_per_min": round(mbpm, 1),
+        "build_filter_mb": round(bits.nbytes / 1e6, 1),
+    }
+
+
 def st_e2e_refdata():
     """The reference's bundled real assemblies + sim reads through the
     full build-custom + classify path (BASELINE.md north star data; the
@@ -704,6 +750,7 @@ STAGES = {
     "e2e_hierarchy": st_e2e_hierarchy,
     "e2e_multifilter": st_e2e_multifilter,
     "e2e_mixedlen": st_e2e_mixedlen,
+    "build": st_build,
     "e2e_refdata": st_e2e_refdata,
 }
 

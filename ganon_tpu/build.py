@@ -685,6 +685,7 @@ def build_custom(cfg, which_call: str = "build_custom") -> bool:
                     )
                 ),
                 filter_format=getattr(cfg, "filter_format", "tpu"),
+                layout=getattr(cfg, "hibf_layout", "auto"),
                 quiet=cfg.quiet,
             )
         else:

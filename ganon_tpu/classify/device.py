@@ -945,6 +945,433 @@ class DeviceRaptorHIBF:
         return out
 
 
+# --------------------------------------------------------------------------
+# merged-bin pruned forest (index.pruned): coarse gate + grouped fine table
+
+
+def _bit_expand(member, nbits: int):
+    """[..., W] words -> [..., W*nbits] bit lanes (little-endian order).
+
+    Little-endian u32 words view the same bytes as the u8 table, so bit
+    ``i`` of the expanded axis is bin ``i`` under either element type.
+    """
+    shifts = jnp.arange(nbits, dtype=member.dtype)
+    planes = (member[..., None] >> shifts) & member.dtype.type(1)
+    return planes.reshape(*member.shape[:-1], member.shape[-1] * nbits)
+
+
+@partial(jax.jit, static_argnames=("num_groups",))
+def bulk_group_counts(ctbl, crows, hash_mask, *, num_groups: int):
+    """Coarse merged-bin counts: one bin per target GROUP, bit-packed.
+
+    ``counts[b, g] = #hashes whose h rows all have bit g set`` — the
+    same bulk-count semantics as the fine stage, but the row is only
+    ``G/8`` bytes so the whole coarse pass is VMEM-cheap. Unlike
+    pack_table_u8 there is no per-target byte padding (padding would
+    inflate the coarse table 8x for 1-bin groups).
+    """
+    member = ctbl[crows[:, :, 0]]  # [B, M, Wc]
+    for s in range(1, crows.shape[2]):
+        member = member & ctbl[crows[:, :, s]]
+    zero = member.dtype.type(0)
+    member = jnp.where(hash_mask[:, :, None], member, zero)
+    nbits = 32 if member.dtype == jnp.uint32 else 8
+    planes = _bit_expand(member, nbits)  # [B, M, Gp]
+    counts = jnp.sum(planes.astype(jnp.int32), axis=1)
+    return counts[:, :num_groups]
+
+
+def _pruned_fine_rows(hashes, sel_bsz, sel_shift, sel_off, *, fine_h: int):
+    """Fine-table row indices with PER-SLOT (bin_size, shift, offset).
+
+    The pruned forest's groups each have their own bin size (the
+    per-group re-expression of the reference's per-level IBF geometry),
+    so fastrange runs with dynamic parameters gathered per (read, slot)
+    — all vector ALU, no extra gathers. Returns int32 [B, S, M, H].
+    """
+    from ganon_tpu.ops.ibf_query import GOLDEN, HASH_SEEDS, _mulhi64
+
+    h = hashes[:, None, :]  # [B, 1, M] u64
+    bsz = sel_bsz[:, :, None]  # [B, S, 1] u64
+    shift = sel_shift[:, :, None]  # [B, S, 1] u64
+    rows = []
+    for i in range(fine_h):
+        g = h * jnp.uint64(HASH_SEEDS[i])
+        g = g ^ (g >> shift)
+        g = g * jnp.uint64(GOLDEN)
+        r = _mulhi64(g, bsz).astype(jnp.int32) + sel_off[:, :, None]
+        rows.append(r)
+    return jnp.stack(rows, axis=-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "w", "L1", "L2", "coarse_bin_size", "coarse_h", "fine_h",
+        "max_groups", "group_size", "num_targets", "top_k", "match_cap",
+    ),
+)
+def classify_batch_packed_pruned(
+    ctbl, ftbl, grp_row_off, grp_bin_size, grp_shift, grp_ntargets, inbuf,
+    rel_cutoff, rel_filter, hashes_limit, *,
+    k: int, w: int, L1: int, L2: int,
+    coarse_bin_size: int, coarse_h: int, fine_h: int,
+    max_groups: int, group_size: int, num_targets: int,
+    top_k: int, match_cap: int = 0,
+):
+    """One-dispatch pruned classify: coarse gate -> top-S fine probes.
+
+    The TPU-native form of the reference HIBF's threshold-gated descent
+    (hierarchical_interleaved_bloom_filter.hpp:432-460): bulk-count the
+    coarse merged-bin IBF, keep only groups whose count reaches the
+    read's rel-cutoff threshold, then gather ONLY the surviving groups'
+    narrow fine rows (``max_groups`` static slots per read; a read with
+    more surviving groups sets its overflow flag and the engine falls
+    back to the probe-all gated path). Probed fine bytes drop from the
+    full table width to ``S x group_size/8`` per hash.
+
+    Packed output layout = classify_batch_packed (pack16 always; gated
+    semantics — see index.pruned module docstring).
+    """
+    G = grp_row_off.shape[0]
+    S = max_groups
+    gs = group_size
+    codes1p, len1, codes2p, len2 = _unpack_batch_input(inbuf, L1, L2)
+    codes1 = unpack_codes_2bit(codes1p, L1)
+    codes2 = unpack_codes_2bit(codes2p, L2) if codes2p is not None else None
+    m1 = max(L1 - w + 1, 1)
+    m2 = max(L2 - w + 1, 1) if codes2p is not None else 0
+    hashes, mask, n_hashes = extract_hashes(
+        codes1, len1, codes2, len2, k=k, w=w, m1=m1, m2=m2
+    )
+    mc = compact_width(hashes.shape[1])
+    if mc and mc < hashes.shape[1]:
+        hashes, mask, overflow = compact_hashes(hashes, mask, max_compact=mc)
+    else:
+        overflow = jnp.zeros(hashes.shape[0], dtype=bool)
+    B = hashes.shape[0]
+
+    # coarse stage
+    crows = ibf_row_indices(
+        hashes, bin_size=coarse_bin_size, hash_functions=coarse_h
+    )
+    gcounts = bulk_group_counts(ctbl, crows, mask, num_groups=G)
+    nh = n_hashes.astype(jnp.float64)
+    cutoff = jnp.maximum(jnp.ceil(nh * rel_cutoff), 1.0).astype(jnp.int32)
+    valid = (n_hashes > 0) & (n_hashes <= hashes_limit)
+    surv = (gcounts >= cutoff[:, None]) & valid[:, None]
+    n_surv = surv.sum(axis=1).astype(jnp.int32)
+    overflow = overflow | (n_surv > S)
+
+    # top-S surviving groups by coarse count (iterative masked argmax:
+    # S is tiny and G-wide sorts are the wide-table lesson's cost)
+    keyed = jnp.where(surv, gcounts, -1)
+    rows_b = jnp.arange(B)
+    sel, sel_ok = [], []
+    for _ in range(S):
+        j = jnp.argmax(keyed, axis=1)
+        ok = jnp.take_along_axis(keyed, j[:, None], axis=1)[:, 0] >= 0
+        sel.append(jnp.where(ok, j, 0).astype(jnp.int32))
+        sel_ok.append(ok)
+        keyed = keyed.at[rows_b, j].set(-1)
+    gsel = jnp.stack(sel, axis=1)  # [B, S] int32 (0 where invalid)
+    slot_ok = jnp.stack(sel_ok, axis=1)  # [B, S] bool
+
+    # fine stage: per-slot dynamic fastrange + one narrow gather
+    sel_off = grp_row_off[gsel]  # [B, S] int32
+    sel_bsz = grp_bin_size[gsel].astype(jnp.uint64)
+    sel_shift = grp_shift[gsel].astype(jnp.uint64)
+    frows = _pruned_fine_rows(
+        hashes, sel_bsz, sel_shift, sel_off, fine_h=fine_h
+    )  # [B, S, M, H]
+    member = ftbl[frows[..., 0]]  # [B, S, M, Wf]
+    for s in range(1, fine_h):
+        member = member & ftbl[frows[..., s]]
+    zero = member.dtype.type(0)
+    fmask = mask[:, None, :, None] & slot_ok[:, :, None, None]
+    member = jnp.where(fmask, member, zero)
+    nbits = 32 if member.dtype == jnp.uint32 else 8
+    # expansion width can exceed gs (table_as_u32 pads rows to x4 bytes)
+    planes = _bit_expand(member, nbits)[..., :gs]  # [B, S, M, gs]
+    counts = jnp.sum(planes.astype(jnp.int32), axis=2)  # [B, S, gs]
+    counts = jnp.minimum(counts, n_hashes[:, None, None])
+
+    # global target ids; invalid lanes -> sentinel num_targets
+    lane = jnp.arange(gs, dtype=jnp.int32)
+    lane_ok = (
+        (lane[None, None, :] < grp_ntargets[gsel][:, :, None])
+        & slot_ok[:, :, None]
+    )
+    ids = jnp.where(
+        lane_ok, gsel[:, :, None] * gs + lane[None, None, :], num_targets
+    )
+    res = threshold_topk_ids(
+        counts.reshape(B, S * gs), ids.reshape(B, S * gs), n_hashes,
+        rel_cutoff, rel_filter, hashes_limit,
+        top_k=top_k, num_targets=num_targets, tallies=False,
+    )
+    # per-target tallies via a GROUP-indexed scatter: [B, S] indices with
+    # [gs]-lane payloads instead of B*S*gs scalar adds — the flat
+    # .at[ids].add form measured 14.8 ms PER TALLY at [8192, 256]
+    # (xplane, scripts/pruned_trace.py); this form is ~64x fewer scatter
+    # indices with vectorized rows
+    final3 = res.pop("final").reshape(B, S, gs)
+    kept3 = res.pop("kept").reshape(B, S, gs)
+    nm1 = (res["n_matches"] == 1)[:, None, None]
+    T = num_targets
+    mt = jnp.zeros((G, gs), jnp.int32).at[gsel].add(
+        final3.astype(jnp.int32), mode="drop"
+    )
+    dt = jnp.zeros((G, gs), jnp.int32).at[gsel].add(
+        (kept3 & ~final3).astype(jnp.int32), mode="drop"
+    )
+    ut = jnp.zeros((G, gs), jnp.int32).at[gsel].add(
+        (final3 & nm1).astype(jnp.int32), mode="drop"
+    )
+    res["matches_t"] = mt.reshape(-1)[:T]
+    res["disc_t"] = dt.reshape(-1)[:T]
+    res["unique_t"] = ut.reshape(-1)[:T]
+    return _pack_result(res, n_hashes, overflow, pack16=True,
+                        match_cap=match_cap)
+
+
+@partial(jax.jit, static_argnames=("top_k", "num_targets", "tallies"))
+def threshold_topk_ids(
+    counts, ids, n_hashes, rel_cutoff, rel_filter, hashes_limit, *,
+    top_k: int, num_targets: int, tallies: bool = True,
+):
+    """threshold_topk over a COMPACT (counts, ids) matrix.
+
+    Same reference threshold semantics (GanonClassify.cpp:719-758), but
+    the candidate axis is the pruned kernel's ``S x group_size`` lanes
+    with explicit global target ids (sentinel ``num_targets`` marks
+    invalid lanes) instead of a dense [B, T] matrix — the matrix the
+    wide-table regime can no longer afford to sort. Requires the pack16
+    bounds (ids and counts <= 0xFFFF; the engine gates on them).
+    Per-target tallies scatter-add into [T] (sentinel ids drop).
+    """
+    nh = n_hashes.astype(jnp.float64)
+    cutoff = jnp.maximum(jnp.ceil(nh * rel_cutoff), 1.0).astype(jnp.int32)
+    valid = (n_hashes > 0) & (n_hashes <= hashes_limit)
+    live = ids < num_targets
+    kept = live & (counts >= cutoff[:, None]) & valid[:, None]
+    max_count = jnp.where(kept, counts, 0).max(axis=1)
+    big = jnp.iinfo(jnp.int32).max
+    min_count = jnp.minimum(
+        n_hashes, jnp.where(kept, counts, big).min(axis=1)
+    )
+    thr = (
+        max_count.astype(jnp.float64)
+        - jnp.ceil((max_count - min_count).astype(jnp.float64) * rel_filter)
+    ).astype(jnp.int32)
+    final = kept & (counts >= thr[:, None])
+    n_matches = final.sum(axis=1).astype(jnp.int32)
+    fvals = jnp.where(final, counts, 0)
+
+    C = counts.shape[1]
+    k = min(top_k, C)
+    idx_c = jnp.uint32(0xFFFF) - jnp.minimum(
+        ids, num_targets
+    ).astype(jnp.uint32)
+    packed = (fvals.astype(jnp.uint32) << jnp.uint32(16)) | idx_c
+    s = jax.lax.sort(packed, dimension=1, is_stable=False)
+    top = s[:, C - k:][:, ::-1]
+    top_vals = (top >> 16).astype(jnp.int32)
+    top_idx = (
+        jnp.uint32(0xFFFF) - (top & jnp.uint32(0xFFFF))
+    ).astype(jnp.int32)
+
+    classified = n_matches > 0
+    out = {
+        "top_vals": top_vals,
+        "top_idx": top_idx,
+        "n_matches": n_matches,
+        "max_count": max_count.astype(jnp.int32),
+        "seqs_classified": classified.sum().astype(jnp.int64),
+        "kmers_from_classified": jnp.where(classified, n_hashes, 0)
+        .sum()
+        .astype(jnp.int64),
+        "kmers_matches": jnp.where(classified, max_count, 0)
+        .sum()
+        .astype(jnp.int64),
+    }
+    if not tallies:
+        # caller computes per-target tallies from the masks (the pruned
+        # kernel uses a far cheaper group-indexed scatter)
+        out["final"] = final
+        out["kept"] = kept
+        return out
+    T = num_targets
+    fin32 = final.astype(jnp.int32)
+    out["matches_t"] = jnp.zeros((T,), jnp.int32).at[ids.reshape(-1)].add(
+        fin32.reshape(-1), mode="drop"
+    )
+    out["disc_t"] = jnp.zeros((T,), jnp.int32).at[ids.reshape(-1)].add(
+        (kept & ~final).astype(jnp.int32).reshape(-1), mode="drop"
+    )
+    out["unique_t"] = jnp.zeros((T,), jnp.int32).at[ids.reshape(-1)].add(
+        (final & (n_matches == 1)[:, None]).astype(jnp.int32).reshape(-1),
+        mode="drop",
+    )
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fine_h", "group_size", "num_targets",
+                     "coarse_bin_size", "coarse_h", "gated"),
+)
+def _pruned_all_counts(
+    ftbl, ctbl, grp_row_off, grp_bin_size, grp_shift,
+    hashes, mask, n_hashes, rel_cutoff, hashes_limit, *,
+    fine_h: int, group_size: int, num_targets: int,
+    coarse_bin_size: int = 0, coarse_h: int = 0, gated: bool = True,
+):
+    """Probe-ALL-groups counts [B, T] (the pruned forest's slow path).
+
+    ``gated=True`` applies the same coarse gate as the fast kernel
+    (groups below the read's cutoff zero out), so the overflow fallback
+    is bit-identical to the pruned path at any match width; False gives
+    the raw ungated counts (tests / curiosity only — NOT the filter's
+    defined semantics). A lax.scan over groups keeps the program small
+    at any G.
+    """
+    from ganon_tpu.ops.ibf_query import GOLDEN, HASH_SEEDS, _mulhi64
+
+    B = hashes.shape[0]
+    gs = group_size
+    nbits_f = 32 if ftbl.dtype == jnp.uint32 else 8
+
+    def body(_, xs):
+        off, bsz, shift = xs
+        members = None
+        for i in range(fine_h):
+            g = hashes * jnp.uint64(HASH_SEEDS[i])
+            g = g ^ (g >> shift)
+            g = g * jnp.uint64(GOLDEN)
+            r = _mulhi64(g, bsz).astype(jnp.int32) + off
+            m = ftbl[r]  # [B, M, Wf]
+            members = m if members is None else (members & m)
+        zero = members.dtype.type(0)
+        members = jnp.where(mask[:, :, None], members, zero)
+        # slice to gs: table_as_u32 pads rows to x4 bytes
+        planes = _bit_expand(members, nbits_f)[..., :gs]  # [B, M, gs]
+        return None, jnp.sum(planes.astype(jnp.int32), axis=1)
+
+    _, per_group = jax.lax.scan(
+        body, None,
+        (grp_row_off, grp_bin_size.astype(jnp.uint64),
+         grp_shift.astype(jnp.uint64)),
+    )  # [G, B, gs]
+    counts = jnp.transpose(per_group, (1, 0, 2)).reshape(B, -1)
+    counts = jnp.minimum(counts[:, :num_targets], n_hashes[:, None])
+    if gated:
+        crows = ibf_row_indices(
+            hashes, bin_size=coarse_bin_size, hash_functions=coarse_h
+        )
+        G = grp_row_off.shape[0]
+        gcounts = bulk_group_counts(ctbl, crows, mask, num_groups=G)
+        nh = n_hashes.astype(jnp.float64)
+        cutoff = jnp.maximum(jnp.ceil(nh * rel_cutoff), 1.0).astype(
+            jnp.int32
+        )
+        valid = (n_hashes > 0) & (n_hashes <= hashes_limit)
+        surv = (gcounts >= cutoff[:, None]) & valid[:, None]
+        gate = jnp.repeat(surv, gs, axis=1)[:, :num_targets]
+        counts = jnp.where(gate, counts, 0)
+    return counts
+
+
+class DevicePrunedForest:
+    """A merged-bin pruned forest on device (index.pruned.PrunedForest).
+
+    Fast path: :func:`classify_batch_packed_pruned` (the engine
+    dispatches it directly). Slow/fallback path: :meth:`counts_gated`
+    (probe all groups, same gate). ``mesh`` replicates both tables and
+    batch-shards inputs (read data parallelism; bins-axis sharding of
+    the grouped layout is future work — the pruned gather is already
+    back in the cheap per-probe regime single-chip).
+    """
+
+    def __init__(self, pf, device=None, mesh=None):
+        from ganon_tpu.ops.ibf_query import clz64
+
+        self.ibf_config = pf.ibf_config
+        self.targets = pf.targets()
+        self.num_targets = len(self.targets)
+        self.target_fpr = pf.target_fpr()
+        self.group_size = pf.group_size
+        self.fine_h = pf.fine_h
+        self.coarse_h = pf.coarse_h
+        self.coarse_bin_size = pf.coarse_bin_size
+        self.num_groups = pf.num_groups
+        self.mesh = mesh
+        self.batch_mult = 1 if mesh is None else mesh.shape["batch"]
+        # both tables as u32 word views: the fine rows are only
+        # group_size/8 bytes and the coarse G/8, so even "small" tables
+        # gather element-count-bound (u32 = 4x fewer scattered segments
+        # per row; docs/perf_notes.md "u32 word-view gather"); the fine
+        # table commits COLUMN-major — XLA's chosen layout for a
+        # [R, 2] u32 gather operand (T(2,128) tiling); committing
+        # row-major cost a 4.7 ms/batch in-program relayout copy
+        # (xplane, scripts/pruned_trace.py)
+        fine = table_as_u32(np.ascontiguousarray(pf.fine))
+        coarse = table_as_u32(np.ascontiguousarray(pf.coarse))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self.ftbl = jax.device_put(fine, rep)
+            self.ctbl = jax.device_put(coarse, rep)
+        else:
+            try:
+                from jax.experimental.layout import Format, Layout
+
+                sd = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+                self.ftbl = jax.device_put(fine, Format(Layout((1, 0)), sd))
+                self.ctbl = jax.device_put(coarse, Format(Layout((1, 0)),
+                                                          sd))
+            except Exception:
+                self.ftbl = jnp.asarray(fine)
+                self.ctbl = jnp.asarray(coarse)
+        self.grp_row_off = jnp.asarray(pf.grp_row_off, dtype=jnp.int32)
+        self.grp_bin_size = jnp.asarray(pf.grp_bin_size, dtype=jnp.uint32)
+        self.grp_shift = jnp.asarray(
+            [clz64(int(b)) for b in pf.grp_bin_size], dtype=jnp.uint32
+        )
+        self.grp_ntargets = jnp.asarray(pf.grp_ntargets, dtype=jnp.int32)
+        self.vmem_staged = (
+            self.ftbl.dtype == jnp.uint8 and self.ctbl.dtype == jnp.uint8
+        )
+
+    put_batch = DeviceFilter.put_batch
+
+    def counts_gated(self, hashes, mask, n_hashes, rel_cutoff):
+        """Full [B, T] counts under the filter's gated semantics."""
+        return _pruned_all_counts(
+            self.ftbl, self.ctbl, self.grp_row_off, self.grp_bin_size,
+            self.grp_shift, hashes, mask, n_hashes,
+            jnp.float64(rel_cutoff), jnp.int32(0x7FFFFFFF),
+            fine_h=self.fine_h, group_size=self.group_size,
+            num_targets=self.num_targets,
+            coarse_bin_size=self.coarse_bin_size, coarse_h=self.coarse_h,
+            gated=True,
+        )
+
+    def counts(self, hashes, mask, n_hashes):
+        """UNgated probe-all counts (diagnostics; the filter's defined
+        semantics are the gated ones — see index.pruned)."""
+        return _pruned_all_counts(
+            self.ftbl, self.ctbl, self.grp_row_off, self.grp_bin_size,
+            self.grp_shift, hashes, mask, n_hashes,
+            jnp.float64(0.0), jnp.int32(0x7FFFFFFF),
+            fine_h=self.fine_h, group_size=self.group_size,
+            num_targets=self.num_targets,
+            coarse_bin_size=self.coarse_bin_size, coarse_h=self.coarse_h,
+            gated=False,
+        )
+
+
 # repeated run_classify calls over the same db (servers, benchmarks, the
 # report->reclassify loop) pay filter load + table packing + device
 # placement every time otherwise (~0.7 s for a 20 MB db); key on file
@@ -964,6 +1391,7 @@ def load_device_filter(path: str, mesh=None):
     """
     from ganon_tpu.index.ibf import IBF
     from ganon_tpu.index.hibf import HIBF, RaptorHIBF
+    from ganon_tpu.index.pruned import PrunedForest, is_pruned_file
     from ganon_tpu.index import serialize
 
     try:
@@ -978,7 +1406,11 @@ def load_device_filter(path: str, mesh=None):
     if path.endswith(".hibf"):
         import zipfile
 
-        if not zipfile.is_zipfile(path) and serialize.is_raptor_hibf(path):
+        if is_pruned_file(path):
+            f = DevicePrunedForest(PrunedForest.load(path), mesh=mesh)
+        elif not zipfile.is_zipfile(path) and serialize.is_raptor_hibf(
+            path
+        ):
             f = DeviceRaptorHIBF(RaptorHIBF.load(path), mesh=mesh)
         else:
             f = DeviceHIBF(HIBF.load(path), mesh=mesh)

@@ -28,6 +28,7 @@ from ganon_tpu.classify import device as dev
 from ganon_tpu.classify.lca import LCA, build_lca
 from ganon_tpu.classify.thresholds import FprQueryMinCount
 from ganon_tpu.io.pipeline import (
+    BatchCoalescer,
     EncodedBatch,
     ThreadedBatchSource,
     bucketed_batches,
@@ -80,6 +81,10 @@ class ClassifyConfig:
     # inputs; io.pipeline.bucketed_batches). Off = original streaming.
     length_bucketing: bool = True
     hashes_limit: int = 65535  # uint16 counter limit; raise for long reads
+    # pruned-forest fast path: static surviving-group slots per read
+    # (reads with more coarse-surviving groups fall back to the exact
+    # probe-all gated path; classify_batch_packed_pruned)
+    pruned_max_groups: int = 4
     device_thresholding: bool = True  # on-device cutoff/filter + top-K
     top_k_matches: int = 128  # compact output width (falls back if exceeded)
     use_mesh: bool = True  # shard over all devices when more than one
@@ -470,142 +475,199 @@ def run_classify(cfg: ClassifyConfig) -> dict:
         if cfg.output_unclassified:
             out.get(cfg.output_prefix + p + ".unc")
 
-    # leftover reads flowing to the next level: list of ReadBatch
-    leftovers: list[ReadBatch] = []
+    # Cross-level pipelined scheduler. The round-4 design ran levels
+    # strictly in sequence, so the device pipeline drained once per
+    # hierarchy level (the requeue boundary the reference never stalls
+    # on — its consumers keep popping the swapped queue,
+    # GanonClassify.cpp:811-830,1521-1537). Here every level is a
+    # runner with its own ready queue; leftovers coalesce INCREMENTALLY
+    # as level-N batches finish, so level-N+1 dispatches start while
+    # level-N results are still in flight and the pipeline never
+    # empties at the boundary. Lower levels have dispatch priority, so
+    # single-level runs behave exactly as before.
+    from collections import deque
 
     level_labels = list(levels.keys())
     n_reads = cfg.n_reads  # run-local: never mutate the caller's config
+
+    class _Runner:
+        __slots__ = (
+            "li", "label", "level", "first", "last", "ctx", "rep",
+            "coalescer", "source_done", "inflight", "complete", "ready",
+            "one_files", "all_files", "finish_args",
+        )
+
+    runners: list[_Runner] = []
     for li, label in enumerate(level_labels):
-        level = levels[label]
-        first = li == 0
-        last = li == len(level_labels) - 1
-        ctx = LevelContext(level, cfg, mesh)
-        if first and not n_reads:
+        r = _Runner()
+        r.li, r.label, r.level = li, label, levels[label]
+        r.first = li == 0
+        r.last = li == len(level_labels) - 1
+        r.ctx = None
+        r.rep = {}
+        r.coalescer = None
+        r.source_done = False
+        r.inflight = 0
+        r.complete = False
+        r.ready = deque()
+        runners.append(r)
+
+    def ensure_ctx(r: _Runner) -> LevelContext:
+        nonlocal n_reads
+        if r.ctx is not None:
+            return r.ctx
+        r.ctx = LevelContext(r.level, cfg, mesh)
+        if r.first and not n_reads:
             # auto batch size by table regime: the VMEM-staged (u8)
             # table pays one HBM->VMEM staging copy per dispatch
             # (1.8 ms at 87 MB, round-4 trace), so bigger batches
             # amortize it (+7% kernel at 16384); the HBM/u32 regime is
             # gather-bound and indifferent (measured slightly worse).
-            # Resolved into a local, NOT written back to cfg: a config
-            # reused against a different database must re-derive.
             staged = all(
-                getattr(f, "vmem_staged", False) for f in ctx.filters
+                getattr(f, "vmem_staged", False) for f in r.ctx.filters
             )
             n_reads = 16384 if staged else 8192
-        rep: dict[tuple[str, str], Rep] = {}
-        next_leftovers: list[ReadBatch] = []
-
-        file_mode = "w" if (first or not cfg.output_single) else "a"
-        one_files = {
-            p: cfg.output_prefix + p + "." + level.output_file_one for p in prefixes
+        file_mode = "w" if (r.first or not cfg.output_single) else "a"
+        r.one_files = {
+            p: cfg.output_prefix + p + "." + r.level.output_file_one
+            for p in prefixes
         }
-        all_files = {
-            p: cfg.output_prefix + p + "." + level.output_file_all for p in prefixes
+        r.all_files = {
+            p: cfg.output_prefix + p + "." + r.level.output_file_all
+            for p in prefixes
         }
         if cfg.output_lca and not cfg.skip_lca:
             for p in prefixes:
-                out.get(one_files[p], file_mode)
+                out.get(r.one_files[p], file_mode)
         if cfg.output_all:
             for p in prefixes:
-                out.get(all_files[p], file_mode)
-
-        def batches():
-            if first:
-
-                def produce():
-                    for prefix, files in reads_config.items():
-                        for f1, f2 in files:
-                            yield from encoded_batches(
-                                f1, f2, prefix, n_reads
-                            )
-
-                # reader/encoder runs on a background thread (SafeQueue
-                # analogue) overlapping with device compute; mixed-length
-                # inputs are regrouped by length bucket so one long read
-                # does not pad a whole batch (io.pipeline.bucketed_batches)
-                stream = produce()
-                if cfg.read_stride > 1:
-                    stream = strided_batches(
-                        stream, cfg.read_stride, cfg.read_offset
-                    )
-                if cfg.length_bucketing:
-                    stream = bucketed_batches(stream, n_reads)
-                for b in ThreadedBatchSource(stream):
-                    totals[b.prefix].input_seqs += len(b)
-                    yield b
-            elif cfg.length_bucketing:
-                # leftovers are ragged half-empty sub-batches; each
-                # dispatch pays a fixed per-call cost, so coalesce them
-                # back to full n_reads batches (also re-buckets by
-                # length, since survivors of different buckets merge)
-                yield from bucketed_batches(
-                    iter(leftovers), n_reads, coalesce=True
-                )
-            else:
-                yield from leftovers
-
-        # N-deep pipeline: keep several batches in flight before fetching
-        # the oldest result (the SafeQueue producer/consumer rebuilt
-        # around dispatch latency). Each dispatch also starts the
-        # device->host copy asynchronously, so result transfers overlap
-        # both device compute and each other — at high per-call latency
-        # (remote/tunneled device) depth d divides the latency term by d.
-        from collections import deque
-
-        finish_args = (
-            ctx, cfg, rep, hierarchy_totals[label], first, last, out,
-            one_files, all_files,
+                out.get(r.all_files[p], file_mode)
+        r.finish_args = (
+            r.ctx, cfg, r.rep, hierarchy_totals[r.label], r.first,
+            r.last, out, r.one_files, r.all_files,
         )
-        depth = max(1, cfg.pipeline_depth)
-        pending: deque = deque()
-        it = iter(batches())
-        while True:
-            t0 = _time.monotonic()
-            batch = next(it, None)
-            timing["input_wait"] += _time.monotonic() - t0
-            if batch is None:
-                break
-            t0 = _time.monotonic()
-            disp = _dispatch_batch_fast(batch, ctx, cfg)
-            timing["dispatch"] += _time.monotonic() - t0
-            if disp is None:
-                t0 = _time.monotonic()
-                while pending:
-                    lo = _finish_batch_fast(pending.popleft(), *finish_args)
-                    if lo is not None and len(lo):
-                        next_leftovers.append(lo)
-                lo = _classify_batch(
-                    batch, ctx, cfg, rep, hierarchy_totals[label], first,
-                    last, out, one_files, all_files,
-                )
-                timing["finish"] += _time.monotonic() - t0
-            else:
-                lo = None
-                if len(pending) >= depth:
-                    t0 = _time.monotonic()
-                    lo = _finish_batch_fast(pending.popleft(), *finish_args)
-                    timing["finish"] += _time.monotonic() - t0
-                pending.append((batch, disp))
-            if lo is not None and len(lo):
-                next_leftovers.append(lo)
+        return r.ctx
+
+    # level-0 source: reader/encoder on a background thread (SafeQueue
+    # analogue) overlapping device compute; mixed-length inputs regroup
+    # by length bucket so one long read does not pad a whole batch
+    ensure_ctx(runners[0])
+
+    def produce():
+        for prefix, files in reads_config.items():
+            for f1, f2 in files:
+                yield from encoded_batches(f1, f2, prefix, n_reads)
+
+    stream = produce()
+    if cfg.read_stride > 1:
+        stream = strided_batches(stream, cfg.read_stride, cfg.read_offset)
+    if cfg.length_bucketing:
+        stream = bucketed_batches(stream, n_reads)
+    lvl0 = iter(ThreadedBatchSource(stream))
+
+    # N-deep pipeline: keep several batches in flight before fetching
+    # the oldest result. Each dispatch also starts the device->host
+    # copy asynchronously, so result transfers overlap device compute
+    # and each other — at high per-call latency (remote/tunneled
+    # device) depth d divides the latency term by d.
+    depth = max(1, cfg.pipeline_depth)
+    pending: deque = deque()  # (runner, batch, disp) in dispatch order
+
+    def route_leftover(r: _Runner, lo) -> None:
+        if lo is None or not len(lo):
+            return
+        nxt = runners[r.li + 1]
+        if cfg.length_bucketing:
+            # leftovers are ragged half-empty sub-batches; each
+            # dispatch pays a fixed per-call cost, so coalesce them
+            # back to full n_reads batches (re-bucketing by length,
+            # since survivors of different buckets merge)
+            if nxt.coalescer is None:
+                nxt.coalescer = BatchCoalescer(n_reads)
+            nxt.ready.extend(nxt.coalescer.add(lo))
+        else:
+            nxt.ready.append(lo)
+
+    def maybe_complete(r: _Runner) -> None:
+        while (
+            not r.complete and r.source_done and not r.inflight
+            and not r.ready
+        ):
+            r.complete = True
+            # fold per-level totals and reports into global stats
+            for p in prefixes:
+                t = hierarchy_totals[r.label][p]
+                tt = totals[p]
+                for fld in _TOTAL_FIELDS:
+                    if fld != "input_seqs":
+                        setattr(tt, fld, getattr(tt, fld) + getattr(t, fld))
+            if r.ctx is not None:
+                _write_rep(r.rep, r.ctx, cfg, r.label, out)
+            if r.li + 1 >= len(runners):
+                return
+            nxt = runners[r.li + 1]
+            if nxt.coalescer is not None:
+                nxt.ready.extend(nxt.coalescer.flush())
+            nxt.source_done = True
+            r = nxt
+
+    def finish_oldest() -> None:
+        r, batch, disp = pending.popleft()
         t0 = _time.monotonic()
-        while pending:
-            lo = _finish_batch_fast(pending.popleft(), *finish_args)
-            if lo is not None and len(lo):
-                next_leftovers.append(lo)
+        lo = _finish_batch_fast((batch, disp), *r.finish_args)
         timing["finish"] += _time.monotonic() - t0
+        if not r.last:
+            route_leftover(r, lo)
+        r.inflight -= 1
+        maybe_complete(r)
 
-        # fold per-level totals and reports into global stats
-        for p in prefixes:
-            t = hierarchy_totals[label][p]
-            tt = totals[p]
-            for f in _TOTAL_FIELDS:
-                if f != "input_seqs":
-                    setattr(tt, f, getattr(tt, f) + getattr(t, f))
+    def next_ready():
+        """(runner, batch) to dispatch next; None when nothing is ready.
+        The returned runner's inflight count is already incremented (the
+        batch counts as in-flight the moment it leaves a queue)."""
+        r0 = runners[0]
+        if not r0.source_done:
+            t0 = _time.monotonic()
+            batch = next(lvl0, None)
+            timing["input_wait"] += _time.monotonic() - t0
+            if batch is not None:
+                totals[batch.prefix].input_seqs += len(batch)
+                r0.inflight += 1
+                return r0, batch
+            r0.source_done = True
+            maybe_complete(r0)
+        for r in runners:
+            if r.ready:
+                r.inflight += 1
+                return r, r.ready.popleft()
+        return None
 
-        _write_rep(rep, ctx, cfg, label, out)
-
-        leftovers = next_leftovers
+    while True:
+        nb = next_ready()
+        if nb is None:
+            if pending:
+                finish_oldest()
+                continue
+            break
+        r, batch = nb
+        ctx = ensure_ctx(r)
+        t0 = _time.monotonic()
+        disp = _dispatch_batch_fast(batch, ctx, cfg)
+        timing["dispatch"] += _time.monotonic() - t0
+        if disp is None:
+            t0 = _time.monotonic()
+            while pending:
+                finish_oldest()
+            lo = _classify_batch(batch, *r.finish_args)
+            timing["finish"] += _time.monotonic() - t0
+            if not r.last:
+                route_leftover(r, lo)
+            r.inflight -= 1
+            maybe_complete(r)
+        else:
+            if len(pending) >= depth:
+                finish_oldest()
+            pending.append((r, batch, disp))
 
     # .rep totals trailer
     for p in prefixes:
@@ -647,9 +709,14 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
         and f.subs
     )
     is_raptor = isinstance(f, dev.DeviceRaptorHIBF) and f.subs
+    is_pruned = isinstance(f, dev.DevicePrunedForest)
+    if is_pruned and (
+        f.num_targets > 0xFFFF or cfg.hashes_limit > 0xFFFF
+    ):
+        return None  # pruned kernel requires the pack16 bounds
     if not isinstance(f, dev.DeviceFilter) and not is_forest and not (
         is_raptor
-    ):
+    ) and not is_pruned:
         return None
 
     B0 = len(batch)
@@ -671,7 +738,20 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
         if cap >= batch_pad * K:
             cap = 0  # dense is no larger — use it
     inbuf = dev.pack_batch_input(codes1, len1, codes2, len2)
-    if is_raptor:
+    if is_pruned:
+        packed = dev.classify_batch_packed_pruned(
+            f.ctbl, f.ftbl, f.grp_row_off, f.grp_bin_size, f.grp_shift,
+            f.grp_ntargets, f.put_batch(inbuf),
+            ctx.specs[0].rel_cutoff, ctx.level.rel_filter,
+            cfg.hashes_limit,
+            k=ctx.kmer_size, w=w, L1=codes1.shape[1],
+            L2=codes2.shape[1] if codes2 is not None else 0,
+            coarse_bin_size=f.coarse_bin_size, coarse_h=f.coarse_h,
+            fine_h=f.fine_h, max_groups=cfg.pruned_max_groups,
+            group_size=f.group_size, num_targets=f.num_targets,
+            top_k=K, match_cap=cap,
+        )
+    elif is_raptor:
         import jax.numpy as jnp
 
         packed = dev.classify_batch_packed_raptor(
@@ -894,23 +974,32 @@ def _classify_batch(
         while p * 2 <= step and Bp % (p * 2) == 0:
             p *= 2
         step = p
+    def _fcounts(f, spec, h, m, nh_d):
+        # pruned forests apply their coarse gate (the filter's DEFINED
+        # semantics — index.pruned) so this fallback stays bit-identical
+        # to the pruned fast path; plain filters are ungated
+        if hasattr(f, "counts_gated"):
+            return f.counts_gated(h, m, nh_d, spec.rel_cutoff)
+        return f.counts(h, m, nh_d)
+
     if step < Bp:
         import jax.numpy as jnp
 
         counts_dev = [
             jnp.concatenate(
                 [
-                    f.counts(hashes[i:i + step], mask[i:i + step],
-                             n_hashes_d[i:i + step])
+                    _fcounts(f, spec, hashes[i:i + step],
+                             mask[i:i + step], n_hashes_d[i:i + step])
                     for i in range(0, Bp, step)
                 ],
                 axis=0,
             )
-            for f in ctx.filters
+            for f, spec in zip(ctx.filters, ctx.specs)
         ]
     else:
         counts_dev = [
-            f.counts(hashes, mask, n_hashes_d) for f in ctx.filters
+            _fcounts(f, spec, hashes, mask, n_hashes_d)
+            for f, spec in zip(ctx.filters, ctx.specs)
         ]
     nh = np.asarray(n_hashes_d)[:B0].astype(np.int64)
     l1 = batch.len1.astype(np.int64)

@@ -148,6 +148,15 @@ class Config:
                              choices=["auto", "off"],
                              help="throughput-aware hash-function tuning "
                                   "for HBM-resident filters (ours-only)")
+            adv.add_argument("--hibf-layout", type=str, default="auto",
+                             choices=["auto", "forest", "pruned"],
+                             help="hierarchical layout for --filter-type "
+                                  "hibf (ours-only): forest = size-"
+                                  "stratified classes, pruned = merged-"
+                                  "bin coarse gate + grouped fine table "
+                                  "(the TPU form of the reference HIBF's "
+                                  "threshold-gated descent); auto picks "
+                                  "pruned at many-targets scale")
             adv.add_argument("-j", "--mode", type=str, default="avg",
                              choices=cls.choices_mode,
                              help="Filter size/speed trade-off mode")

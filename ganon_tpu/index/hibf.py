@@ -400,13 +400,26 @@ def export_raptor_hibf(
     )
 
 
+# target count at/above which ``--hibf-layout auto`` picks the pruned
+# merged-bin layout: below it the whole query table is cheap to probe
+# at full width (VMEM/u32-staged regimes) and the forest's per-class
+# sizing already bounds space waste; at many-targets scale the coarse
+# gate is what keeps probed bytes off the HBM roofline
+PRUNED_AUTO_MIN_TARGETS = 2048
+
+
 def run_build_hibf(
     *, target_info_file: str, output_file: str, kmer_size: int,
     window_size: int, hash_functions: int = 0, max_fp: float = 0.001,
     min_length: int = 0, threads: int = 1, tpu_sizing: bool | None = None,
-    filter_format: str = "tpu", quiet: bool = True,
-) -> HIBF:
-    """Count hashes from a target_info file and build/save an HIBF."""
+    filter_format: str = "tpu", layout: str = "auto", quiet: bool = True,
+):
+    """Count hashes from a target_info file and build/save a hierarchical
+    filter: the size-stratified forest (``layout="forest"``) or the
+    merged-bin pruned forest (``layout="pruned"``; index.pruned).
+    ``auto`` picks pruned at many-targets scale. The raptor-format
+    export (``filter_format="reference"``) always uses the forest
+    layout (that IS the reference's container model)."""
     from ganon_tpu.index.builder import (
         BuildStats,
         count_target_hashes,
@@ -424,6 +437,25 @@ def run_build_hibf(
     target_hashes = {t: h for t, h in target_hashes.items() if len(h)}
     if not target_hashes:
         raise ValueError("No valid sequences to build")
+    if layout == "auto":
+        layout = (
+            "pruned"
+            if (len(target_hashes) >= PRUNED_AUTO_MIN_TARGETS
+                and filter_format != "reference")
+            else "forest"
+        )
+    if layout == "pruned" and filter_format != "reference":
+        from ganon_tpu.index.pruned import build_pruned
+
+        pf = build_pruned(
+            target_hashes, kmer_size=kmer_size, window_size=window_size,
+            max_fp=max_fp,
+        )
+        if filter_format == "tpu-raw":
+            pf.save_raw(output_file)
+        else:
+            pf.save(output_file)
+        return pf
     hibf = build_hibf(
         target_hashes, kmer_size=kmer_size, window_size=window_size,
         max_fp=max_fp, hash_functions=hash_functions,

@@ -189,6 +189,95 @@ def strided_batches(source, stride: int, offset: int):
         yield batch if len(keep) == n else batch.select(keep)
 
 
+def merge_batches(parts: list[EncodedBatch]) -> EncodedBatch:
+    """Concatenate batches of one (prefix, paired) into a single batch
+    (rows width-padded to the widest part)."""
+    if len(parts) == 1:
+        return parts[0]
+    first = parts[0]
+    b = EncodedBatch(prefix=first.prefix, paired=first.paired)
+    b.ids = [rid for p in parts for rid in p.ids]
+    w1 = max(p.codes1.shape[1] for p in parts)
+    b.codes1 = np.concatenate(
+        [np.pad(p.codes1, ((0, 0), (0, w1 - p.codes1.shape[1])))
+         for p in parts]
+    )
+    b.len1 = np.concatenate([p.len1 for p in parts])
+    if first.paired:
+        w2 = max(p.codes2.shape[1] for p in parts)
+        b.codes2 = np.concatenate(
+            [np.pad(p.codes2, ((0, 0), (0, w2 - p.codes2.shape[1])))
+             for p in parts]
+        )
+        b.len2 = np.concatenate([p.len2 for p in parts])
+    return b
+
+
+class BatchCoalescer:
+    """Push-based length-bucketed batch accumulator.
+
+    The incremental core behind :func:`bucketed_batches`, also used
+    directly by the engine's cross-level scheduler: hierarchy leftovers
+    arrive one finished batch at a time and must coalesce to full
+    ``n_reads`` batches WHILE the previous level is still in flight
+    (draining the pipeline at each level boundary was the round-4
+    hierarchy cost — reference requeue never stalls consumers,
+    GanonClassify.cpp:811-830,1521-1537).
+
+    ``bucketed=False`` keeps arrival order within a (prefix, paired)
+    stream and only merges up to ``n_reads`` rows (the engine's
+    length_bucketing=off mode coalesces nothing: pass batches through).
+    """
+
+    def __init__(self, n_reads: int, max_bucket_bytes: int = 64 << 20,
+                 bucketed: bool = True):
+        self.n_reads = n_reads
+        self.max_bucket_bytes = max_bucket_bytes
+        self.bucketed = bucketed
+        self.acc: dict[tuple, list[EncodedBatch]] = {}
+        self.sizes: dict[tuple, int] = {}
+
+    def _emit(self, key):
+        parts = self.acc.pop(key)
+        self.sizes.pop(key)
+        return merge_batches(parts)
+
+    def add(self, batch: EncodedBatch) -> list[EncodedBatch]:
+        """Absorb one batch; return any now-full batches."""
+        from ganon_tpu.classify.device import bucket_len
+
+        if not len(batch):
+            return []
+        out = []
+        if self.bucketed:
+            lmax = batch.len1
+            if batch.paired:
+                lmax = np.maximum(lmax, batch.len2)
+            ulen = np.unique(lmax)
+            ubkt = np.asarray([bucket_len(max(int(x), 1)) for x in ulen])
+            row_bkt = ubkt[np.searchsorted(ulen, lmax)]
+            pieces = [
+                (int(bl), batch.select(np.nonzero(row_bkt == bl)[0]))
+                for bl in np.unique(row_bkt)
+            ]
+        else:
+            pieces = [(0, batch)]
+        for bl, part in pieces:
+            key = (batch.prefix, batch.paired, bl)
+            self.acc.setdefault(key, []).append(part)
+            self.sizes[key] = self.sizes.get(key, 0) + len(part)
+            if (
+                self.sizes[key] >= self.n_reads
+                or (bl and self.sizes[key] * bl >= self.max_bucket_bytes)
+            ):
+                out.append(self._emit(key))
+        return out
+
+    def flush(self) -> list[EncodedBatch]:
+        """Emit every partial batch (input exhausted)."""
+        return [self._emit(key) for key in sorted(self.acc)]
+
+
 def bucketed_batches(source, n_reads: int, max_bucket_bytes: int = 64 << 20,
                      coalesce: bool = False):
     """Regroup a batch stream by read-length bucket before padding.

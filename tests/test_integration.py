@@ -330,8 +330,8 @@ def test_cli_flag_parity_with_reference():
     assert ref - ours == set(), f"reference flags missing: {ref - ours}"
     assert ours - ref == {
         # documented TPU-framework extensions
-        "--distributed", "--filter-format", "--longreads",
-        "--no-length-bucketing", "--pipeline-depth",
+        "--distributed", "--filter-format", "--hibf-layout",
+        "--longreads", "--no-length-bucketing", "--pipeline-depth",
         "--reassign-max-iter", "--reassign-threshold",
         "--tax-root-node", "--top-k-matches", "--tpu-sizing",
     }, f"undocumented extra flags: {ours - ref}"
