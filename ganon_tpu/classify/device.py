@@ -35,12 +35,17 @@ from ganon_tpu.index.sizing import VMEM_STAGED_TABLE_BYTES as _U32_TABLE_BYTES
 def bucket_len(n: int, minimum: int = 128) -> int:
     """Round a length up to the next bucket.
 
-    Multiples of 64 up to 1024 (fine enough that short-read batches do
-    not pad 1.7x, e.g. 150bp -> 192 not 256), powers of two beyond
-    (bounds the number of compiled shapes for long reads).
+    Multiples of 32 up to 256 (padding sets the compact-hash width and
+    with it EVERY gather's probe count: 150 bp reads bucketing to 160
+    instead of 192 measured +14% on the pruned T8192 kernel,
+    scripts/pruned_sweep.py — the same M cut applies to all paths),
+    multiples of 64 up to 1024, powers of two beyond (bounds the number
+    of compiled shapes for long reads).
     """
     if n <= minimum:
         return minimum
+    if n <= 256:
+        return -(-n // 32) * 32
     if n <= 1024:
         return -(-n // 64) * 64
     b = 1024
@@ -272,7 +277,7 @@ def _pack_result(res, n_hashes, overflow, *, pack16: bool, match_cap: int,
     jax.jit,
     static_argnames=(
         "k", "w", "L1", "L2", "bin_size", "hash_functions", "top_k",
-        "pack16", "match_cap",
+        "pack16", "match_cap", "sort_probes",
     ),
 )
 def classify_batch_packed(
@@ -280,6 +285,7 @@ def classify_batch_packed(
     rel_cutoff, rel_filter, hashes_limit, *,
     k: int, w: int, L1: int, L2: int, bin_size: int, hash_functions: int,
     top_k: int, pack16: bool, match_cap: int = 0,
+    sort_probes: bool = False,
 ):
     """Whole per-batch device work in ONE dispatch, ONE int32 fetch.
 
@@ -317,11 +323,48 @@ def classify_batch_packed(
     codes2 = unpack_codes_2bit(codes2p, L2) if codes2p is not None else None
     m1 = max(L1 - w + 1, 1)
     m2 = max(L2 - w + 1, 1) if codes2p is not None else 0
-    counts, n_hashes, overflow = classify_counts_fused(
-        tbl8, byte_starts, byte_ends, codes1, len1, codes2, len2,
-        k=k, w=w, m1=m1, m2=m2,
-        bin_size=bin_size, hash_functions=hash_functions,
-    )
+    if sort_probes:
+        # probe-locality experiment (scripts/probe_locality.py): reorder
+        # each read's hashes by their first-hash-function row index so
+        # the wide-table gather walks HBM quasi-sequentially. The count
+        # is a sum over the hash axis, so the permutation needs no undo
+        # (the mask rides along in the sort).
+        hashes, mask, n_hashes = extract_hashes(
+            codes1, len1, codes2, len2, k=k, w=w, m1=m1, m2=m2
+        )
+        mc = compact_width(hashes.shape[1])
+        if mc and mc < hashes.shape[1]:
+            hashes, mask, overflow = compact_hashes(
+                hashes, mask, max_compact=mc
+            )
+        else:
+            overflow = jnp.zeros(hashes.shape[0], dtype=bool)
+        r0 = ibf_row_indices(
+            hashes, bin_size=bin_size, hash_functions=hash_functions
+        )[..., 0].astype(jnp.uint32)
+        lo = hashes.astype(jnp.uint32)
+        hi = (hashes >> jnp.uint64(32)).astype(jnp.uint32)
+        _, lo_s, hi_s, m_s = jax.lax.sort(
+            (r0, lo, hi, mask.astype(jnp.uint32)),
+            dimension=1, num_keys=1, is_stable=False,
+        )
+        hashes = lo_s.astype(jnp.uint64) | (
+            hi_s.astype(jnp.uint64) << jnp.uint64(32)
+        )
+        mask = m_s.astype(bool)
+        rows = ibf_row_indices(
+            hashes, bin_size=bin_size, hash_functions=hash_functions
+        )
+        tc = bulk_target_counts_packed(
+            tbl8, rows, mask, byte_starts, byte_ends
+        )
+        counts = jnp.minimum(tc, n_hashes[:, None])
+    else:
+        counts, n_hashes, overflow = classify_counts_fused(
+            tbl8, byte_starts, byte_ends, codes1, len1, codes2, len2,
+            k=k, w=w, m1=m1, m2=m2,
+            bin_size=bin_size, hash_functions=hash_functions,
+        )
     res = threshold_topk(
         counts, n_hashes, rel_cutoff, rel_filter, hashes_limit,
         top_k=top_k, sort16=pack16,

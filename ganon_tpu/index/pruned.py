@@ -267,7 +267,7 @@ def build_pruned(
     max_fp: float = 0.05,
     fine_h: int = 1,
     coarse_fp: float = 0.1,
-    coarse_h: int = 2,
+    coarse_h: int = 1,
     group_size: int = 64,
 ) -> PrunedForest:
     """Build the pruned forest from per-target distinct-minimizer arrays.
@@ -275,12 +275,15 @@ def build_pruned(
     Targets sort by hash count descending (stable), so groups hold
     similar-sized targets and per-group bin sizes waste little space —
     the role the reference's DP layout (raptor) plays for merged bins.
-    Defaults: ``fine_h=1`` minimizes probes (the fine gather is
-    transaction-bound per probe — docs/perf_notes.md "Wide-table
-    regime"); ``coarse_h=2``/``coarse_fp=0.1`` keep the coarse table
-    VMEM-small while the threshold gating crushes group-level fp (a
-    group survives only when >= cutoff of the read's hashes hit — a
-    binomial tail, not a per-hash fp).
+    Defaults measured on v5e (scripts/pruned_sweep.py): ``fine_h=1``
+    and ``coarse_h=1`` minimize probes — the gathers are
+    transaction-bound per probe, so one probe per hash beats a denser
+    table in every regime tried (fh=2 measured 1.4-2x slower despite a
+    2.4x smaller table); ``coarse_fp=0.1`` keeps the coarse table small
+    while the threshold gating crushes group-level fp (a group survives
+    only when >= cutoff of the read's hashes hit — a binomial tail, not
+    a per-hash fp; fp 0.05 doubled the coarse table for a measured
+    -27%).
     """
     if not target_hashes:
         raise ValueError("no targets to build")

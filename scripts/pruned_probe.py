@@ -115,6 +115,7 @@ def main():
         t0 = time.time()
         outs = [step(ib, Lb) for ib, Lb in batches]
         jax.block_until_ready(outs)
+        np.asarray(outs[-1])  # fetch-fence (tunnel block is unreliable)
         best = min(best, time.time() - t0)
     rate = B * n_batches / best
     print(f"pruned kernel {name} S={S} gs={group_size}: "

@@ -50,11 +50,12 @@ def get_db(name, fine_h, coarse_h, coarse_fp, gs):
     return pf
 
 
-def time_variant(name, genomes, pf, S, B, n_batches=8):
+def time_variant(name, genomes, pf, S, B, n_batches=8, Lb=None):
     f = dev.DevicePrunedForest(pf)
     rng = np.random.default_rng(7)
     L = READ_LEN
-    Lb = dev.bucket_len(L)
+    if Lb is None:
+        Lb = dev.bucket_len(L)
     batches = []
     for _ in range(n_batches):
         r1, r2, ln = sample_paired_reads(rng, genomes, B)
@@ -87,10 +88,11 @@ def time_variant(name, genomes, pf, S, B, n_batches=8):
         t0 = time.time()
         outs = [step(ib) for ib in batches]
         jax.block_until_ready(outs)
+        np.asarray(outs[-1])  # fetch-fence (tunnel block is unreliable)
         best = min(best, time.time() - t0)
     rate = B * n_batches / best
     print(f"S={S} fh={pf.fine_h} ch={pf.coarse_h} cfp={pf.coarse_fp} "
-          f"B={B}: {rate:,.0f} reads/s ({best*1000/n_batches:.1f} ms/b; "
+          f"B={B} Lb={Lb}: {rate:,.0f} reads/s ({best*1000/n_batches:.1f} ms/b; "
           f"compile+first {tc:.0f}s; cls {int(res['seqs_classified'])}, "
           f"ovf {int(res['overflow'].sum())})")
     return rate
@@ -102,16 +104,16 @@ def main():
     jax.block_until_ready(jnp.ones((8,)).sum())
     genomes = _genomes(name)
     variants = [
-        # (S, fine_h, coarse_h, coarse_fp, B)
-        (2, 1, 2, 0.1, 8192),
-        (4, 2, 2, 0.1, 8192),
-        (2, 2, 1, 0.1, 8192),
-        (2, 2, 2, 0.1, 16384),
+        # (S, fine_h, coarse_h, coarse_fp, B, Lb)
+        (2, 1, 1, 0.1, 8192, None),    # one coarse gather
+        (2, 1, 1, 0.1, 8192, 160),     # finer length bucket: M 72->56
+        (1, 1, 1, 0.1, 8192, 160),     # S=1 floor (info only)
+        (2, 1, 1, 0.05, 8192, 160),    # tighter coarse fp
     ]
-    for S, fh, ch, cfp, B in variants:
+    for S, fh, ch, cfp, B, Lb in variants:
         pf = get_db(name, fh, ch, cfp, 64)
         try:
-            time_variant(name, genomes, pf, S, B)
+            time_variant(name, genomes, pf, S, B, Lb=Lb)
         except Exception as e:
             print(f"variant failed: {e!r}")
 

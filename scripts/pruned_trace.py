@@ -25,9 +25,9 @@ B = 8192
 N_TRACE = 3
 
 
-def main(name="T8192", S=4, gs=64):
+def main(name="T8192", S=2, gs=64):
     pf = PrunedForest.load(
-        os.path.join(CACHE_DIR, f"db_{name}_pruned{gs}.hibf")
+        os.path.join(CACHE_DIR, f"db_{name}_pruned.hibf")
     )
     f = dev.DevicePrunedForest(pf)
     genomes = _genomes(name)
