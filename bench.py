@@ -607,7 +607,10 @@ def st_kernel_T8192():
     L = READ_LEN
     Lb = dev.bucket_len(L)
     batches = []
-    for _ in range(8):
+    # 16 pre-staged batches: the device program is 11.5 ms/batch
+    # (xplane, scripts/pruned_trace.py) and the tunnel adds ~9 ms of
+    # per-dispatch overhead — deeper pipelining amortizes it
+    for _ in range(16):
         r1, r2, ln = sample_paired_reads(rng, genomes, B)
         c1 = np.zeros((B, Lb), np.uint8)
         c2 = np.zeros((B, Lb), np.uint8)

@@ -564,7 +564,14 @@ def run_classify(cfg: ClassifyConfig) -> dict:
     if cfg.read_stride > 1:
         stream = strided_batches(stream, cfg.read_stride, cfg.read_offset)
     if cfg.length_bucketing:
-        stream = bucketed_batches(stream, n_reads)
+        # bp-budgeted batch sizing (B x L ~ const): long-read buckets
+        # flush at ~n_reads x 1024 bp instead of n_reads rows, so a
+        # mixed-length stream feeds the device long before EOF (with
+        # row-count sizing no nanopore-mix bucket ever filled and every
+        # batch waited for the whole input to parse); buckets <= 1024 bp
+        # keep full n_reads rows — short-read behavior unchanged
+        stream = bucketed_batches(stream, n_reads,
+                                  bp_budget=n_reads * 1024)
     lvl0 = iter(ThreadedBatchSource(stream))
 
     # N-deep pipeline: keep several batches in flight before fetching
@@ -585,7 +592,8 @@ def run_classify(cfg: ClassifyConfig) -> dict:
             # back to full n_reads batches (re-bucketing by length,
             # since survivors of different buckets merge)
             if nxt.coalescer is None:
-                nxt.coalescer = BatchCoalescer(n_reads)
+                nxt.coalescer = BatchCoalescer(n_reads,
+                                               bp_budget=n_reads * 1024)
             nxt.ready.extend(nxt.coalescer.add(lo))
         else:
             nxt.ready.append(lo)

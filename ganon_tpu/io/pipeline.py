@@ -230,12 +230,25 @@ class BatchCoalescer:
     """
 
     def __init__(self, n_reads: int, max_bucket_bytes: int = 64 << 20,
-                 bucketed: bool = True):
+                 bucketed: bool = True, bp_budget: int = 0):
         self.n_reads = n_reads
         self.max_bucket_bytes = max_bucket_bytes
         self.bucketed = bucketed
+        # bp-budgeted batch sizing (B x L ~ constant): long-read buckets
+        # flush at ~bp_budget base pairs instead of n_reads rows, so a
+        # mixed-length stream starts emitting (and the device pipeline
+        # starts) long before the input is exhausted — with row-count
+        # sizing no bucket of a nanopore-style mix ever fills n_reads
+        # and EVERY batch waits for EOF (the round-4 mixedlen stall).
+        # 0 disables (short-read streams: row-count sizing unchanged).
+        self.bp_budget = bp_budget
         self.acc: dict[tuple, list[EncodedBatch]] = {}
         self.sizes: dict[tuple, int] = {}
+
+    def _rows_target(self, bl: int) -> int:
+        if not self.bp_budget or not bl:
+            return self.n_reads
+        return max(1024, min(self.n_reads, self.bp_budget // bl))
 
     def _emit(self, key):
         parts = self.acc.pop(key)
@@ -267,7 +280,7 @@ class BatchCoalescer:
             self.acc.setdefault(key, []).append(part)
             self.sizes[key] = self.sizes.get(key, 0) + len(part)
             if (
-                self.sizes[key] >= self.n_reads
+                self.sizes[key] >= self._rows_target(bl)
                 or (bl and self.sizes[key] * bl >= self.max_bucket_bytes)
             ):
                 out.append(self._emit(key))
@@ -279,7 +292,7 @@ class BatchCoalescer:
 
 
 def bucketed_batches(source, n_reads: int, max_bucket_bytes: int = 64 << 20,
-                     coalesce: bool = False):
+                     coalesce: bool = False, bp_budget: int = 0):
     """Regroup a batch stream by read-length bucket before padding.
 
     Mixed-length inputs (nanopore-style distributions) otherwise pad
@@ -299,32 +312,8 @@ def bucketed_batches(source, n_reads: int, max_bucket_bytes: int = 64 << 20,
     """
     from ganon_tpu.classify.device import bucket_len
 
-    acc: dict[tuple[str, bool, int], list[EncodedBatch]] = {}
-    sizes: dict[tuple[str, bool, int], int] = {}
-
-    def emit(key):
-        parts = acc.pop(key)
-        sizes.pop(key)
-        prefix, paired, bl = key
-        if len(parts) == 1:
-            return parts[0]
-        w1 = max(p.codes1.shape[1] for p in parts)
-        b = EncodedBatch(prefix=prefix, paired=paired)
-        b.ids = [rid for p in parts for rid in p.ids]
-        b.codes1 = np.concatenate(
-            [np.pad(p.codes1, ((0, 0), (0, w1 - p.codes1.shape[1])))
-             for p in parts]
-        )
-        b.len1 = np.concatenate([p.len1 for p in parts])
-        if paired:
-            w2 = max(p.codes2.shape[1] for p in parts)
-            b.codes2 = np.concatenate(
-                [np.pad(p.codes2, ((0, 0), (0, w2 - p.codes2.shape[1])))
-                 for p in parts]
-            )
-            b.len2 = np.concatenate([p.len2 for p in parts])
-        return b
-
+    co = BatchCoalescer(n_reads, max_bucket_bytes, bucketed=True,
+                        bp_budget=bp_budget)
     for batch in source:
         if not len(batch):
             continue
@@ -333,26 +322,11 @@ def bucketed_batches(source, n_reads: int, max_bucket_bytes: int = 64 << 20,
             lmax = np.maximum(lmax, batch.len2)
         lo = bucket_len(max(int(lmax.min()), 1))
         hi = bucket_len(max(int(lmax.max()), 1))
-        if lo == hi and not acc and not coalesce:
+        if lo == hi and not co.acc and not coalesce:
             yield batch  # uniform batch, nothing buffered: pass through
             continue
-        # split rows by bucket (vectorized over the unique lengths)
-        ulen = np.unique(lmax)
-        ubkt = np.asarray([bucket_len(max(int(x), 1)) for x in ulen])
-        row_bkt = ubkt[np.searchsorted(ulen, lmax)]
-        for bl in np.unique(row_bkt):
-            idx = np.nonzero(row_bkt == bl)[0]
-            part = batch.select(idx)
-            key = (batch.prefix, batch.paired, int(bl))
-            acc.setdefault(key, []).append(part)
-            sizes[key] = sizes.get(key, 0) + len(part)
-            if (
-                sizes[key] >= n_reads
-                or sizes[key] * int(bl) >= max_bucket_bytes
-            ):
-                yield emit(key)
-    for key in sorted(acc):
-        yield emit(key)
+        yield from co.add(batch)
+    yield from co.flush()
 
 
 class ThreadedBatchSource:
