@@ -648,8 +648,11 @@ def st_e2e_T8192():
     n = 65536
     genomes, _, db = build_pruned_database("T8192")
     fq = _reads_fastq("T8192", genomes, n)
-    v = _time_e2e(_e2e_kw([db], fq, "e2e_T8192"), n)
-    return {"e2e_T8192": round(v, 1)}
+    extra = {}
+    v = _time_e2e(_e2e_kw([db], fq, "e2e_T8192"), n,
+                  breakdown_into=extra, breakdown_key="e2e_T8192_split")
+    extra["e2e_T8192"] = round(v, 1)
+    return extra
 
 
 def st_e2e_forest():

@@ -469,7 +469,8 @@ def run_classify(cfg: ClassifyConfig) -> dict:
     # wall-clock breakdown of the main loop (dispatch overlaps device
     # compute, so "dispatch" is host-side dispatch cost; "finish" is
     # fetch-block + host post-processing; "input_wait" is reader stall)
-    timing = {"input_wait": 0.0, "dispatch": 0.0, "finish": 0.0}
+    timing = {"input_wait": 0.0, "dispatch": 0.0, "fetch": 0.0,
+              "finish": 0.0}
 
     out = _Out()
     for p in prefixes:
@@ -624,7 +625,8 @@ def run_classify(cfg: ClassifyConfig) -> dict:
     def finish_oldest() -> None:
         r, batch, disp = pending.popleft()
         t0 = _time.monotonic()
-        lo = _finish_batch_fast((batch, disp), *r.finish_args)
+        lo = _finish_batch_fast((batch, disp), *r.finish_args,
+                                timing=timing)
         timing["finish"] += _time.monotonic() - t0
         if not r.last:
             route_leftover(r, lo)
@@ -869,14 +871,26 @@ def _dispatch_batch_fast_multi(batch: EncodedBatch, ctx: LevelContext,
 
 
 def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
-                       out, one_files, all_files):
+                       out, one_files, all_files, timing=None):
     """Fetch + finish an in-flight fast batch (one device->host trip);
     escalates the compact width on top-K overflow (sticky for the
-    level), falls back to the exact full path on compaction overflow."""
+    level), falls back to the exact full path on compaction overflow.
+    ``timing`` (optional dict) accumulates the device->host fetch-block
+    seconds under "fetch" — a SUB-term of the caller's "finish" — so
+    the e2e split separates link transfer from host post-processing."""
     batch, (packed, B_pad, K, T, pack16, has_win, cap) = pending
     B0 = len(batch)
+
+    def _fetch(arr):
+        if timing is None:
+            return np.asarray(arr)
+        t0 = _time.monotonic()
+        host = np.asarray(arr)
+        timing["fetch"] += _time.monotonic() - t0
+        return host
+
     if cap > 0:
-        res = dev.unpack_batch_result_ragged(np.asarray(packed), B_pad,
+        res = dev.unpack_batch_result_ragged(_fetch(packed), B_pad,
                                              cap, T, K, has_win)
         if res["cap_overflow"]:
             # the compacted match stream overran the cap: double the
@@ -899,11 +913,11 @@ def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
                 )
             return _finish_batch_fast(
                 (batch, disp), ctx, cfg, rep, level_totals, first, last,
-                out, one_files, all_files,
+                out, one_files, all_files, timing=timing,
             )
     else:
         res = dev.unpack_batch_result(
-            np.asarray(packed), B_pad, K, T, pack16, has_win
+            _fetch(packed), B_pad, K, T, pack16, has_win
         )
     if not res["overflow"][:B0].any() and (
         res["n_matches"][:B0] > K
@@ -915,7 +929,7 @@ def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
         if disp is not None:
             return _finish_batch_fast(
                 (batch, disp), ctx, cfg, rep, level_totals, first, last,
-                out, one_files, all_files,
+                out, one_files, all_files, timing=timing,
             )
     if (res["overflow"][:B0].any()
             or (res["n_matches"][:B0] > K).any()):
