@@ -207,18 +207,21 @@ def _unpack_batch_input(buf, L1: int, L2: int):
 
 
 def _pack_result(res, n_hashes, overflow, *, pack16: bool, match_cap: int,
-                 with_win: bool = False):
+                 with_win: bool = False, extra_rows: tuple = ()):
     """Shared packed-output tail of the classify_batch_packed family.
 
     Dense (``match_cap == 0``): [B*K(*2)] matches (+ [B*K] winners) |
     [B] n_matches | [B] max_count | [B] n_hashes | [B] overflow |
-    [T]*3 tallies | 3 scalars.
+    [B] per extra row | [T]*3 tallies | 3 scalars.
 
     Ragged (``match_cap > 0``, requires pack16): the valid top-K
     entries compact row-major into a [C] buffer (+ [C] winners), and
     the per-read side arrays pack into two u32 words — see
     classify_batch_packed's docstring for why this ~10x payload cut
-    matters. Unpack with unpack_batch_result / unpack_batch_result_ragged.
+    matters. ``extra_rows``: additional [B] int32 arrays riding after
+    the side words (the pruned kernel ships the surviving-group ids
+    this way). Unpack with unpack_batch_result /
+    unpack_batch_result_ragged (matching ``n_extra``).
     """
     tallies = [
         res["matches_t"], res["disc_t"], res["unique_t"],
@@ -256,7 +259,7 @@ def _pack_result(res, n_hashes, overflow, *, pack16: bool, match_cap: int,
                     res["top_win"].ravel(), mode="drop"
                 )
             )
-        parts += [w1, w2] + tallies
+        parts += [w1, w2] + list(extra_rows) + tallies
         return jnp.concatenate([p.astype(jnp.int32) for p in parts])
     if pack16:
         matches = [((res["top_vals"] << 16) | res["top_idx"]).ravel()]
@@ -269,7 +272,7 @@ def _pack_result(res, n_hashes, overflow, *, pack16: bool, match_cap: int,
         res["max_count"],
         n_hashes,
         overflow.astype(jnp.int32),
-    ] + tallies
+    ] + list(extra_rows) + tallies
     return jnp.concatenate([p.astype(jnp.int32) for p in parts])
 
 
@@ -560,7 +563,8 @@ def classify_batch_packed_multi(
 
 
 def unpack_batch_result(packed: np.ndarray, B: int, K: int, T: int,
-                        pack16: bool = True, has_win: bool = False) -> dict:
+                        pack16: bool = True, has_win: bool = False,
+                        n_extra: int = 0) -> dict:
     """Split a classify_batch_packed fetch back into the result dict."""
     o = 0
 
@@ -586,6 +590,7 @@ def unpack_batch_result(packed: np.ndarray, B: int, K: int, T: int,
         "max_count": take(B),
         "n_hashes": take(B),
         "overflow": take(B).astype(bool),
+        "extra_rows": [take(B).view(np.uint32) for _ in range(n_extra)],
         "matches_t": take(T),
         "disc_t": take(T),
         "unique_t": take(T),
@@ -599,7 +604,8 @@ def unpack_batch_result(packed: np.ndarray, B: int, K: int, T: int,
 
 def unpack_batch_result_ragged(packed: np.ndarray, B: int, C: int,
                                T: int, K: int,
-                               has_win: bool = False) -> dict:
+                               has_win: bool = False,
+                               n_extra: int = 0) -> dict:
     """Split a ragged classify_batch_packed fetch (match_cap layout).
 
     Reconstructs the [B, Kmax] top_vals/top_idx matrices from the
@@ -633,6 +639,7 @@ def unpack_batch_result_ragged(packed: np.ndarray, B: int, C: int,
         "n_hashes": n_hashes,
         "overflow": overflow,
         "top_win": None,
+        "extra_rows": [take(B).view(np.uint32) for _ in range(n_extra)],
         "matches_t": take(T),
         "disc_t": take(T),
         "unique_t": take(T),
@@ -1139,19 +1146,38 @@ def classify_batch_packed_pruned(
     counts = jnp.sum(planes.astype(jnp.int32), axis=2)  # [B, S, gs]
     counts = jnp.minimum(counts, n_hashes[:, None, None])
 
-    # global target ids; invalid lanes -> sentinel num_targets
+    # LANE ids (slot*gs + offset <= S*gs-1, always u16-safe) instead of
+    # global target ids: the top-K matches ship lanes plus the per-read
+    # surviving-group words, and the HOST maps lane -> global
+    # (gsel[lane//gs]*gs + lane%gs). This frees the fast path from the
+    # old T <= 0xFFFF bound — RefSeq-scale databases (hundreds of
+    # thousands of targets) stay on the pruned kernel; the only
+    # remaining pack16 requirement is counts <= 0xFFFF (hashes_limit).
     lane = jnp.arange(gs, dtype=jnp.int32)
     lane_ok = (
         (lane[None, None, :] < grp_ntargets[gsel][:, :, None])
         & slot_ok[:, :, None]
     )
-    ids = jnp.where(
-        lane_ok, gsel[:, :, None] * gs + lane[None, None, :], num_targets
+    C = S * gs
+    lanes = jnp.where(
+        lane_ok,
+        (jnp.arange(S, dtype=jnp.int32) * gs)[None, :, None]
+        + lane[None, None, :],
+        C,
     )
     res = threshold_topk_ids(
-        counts.reshape(B, S * gs), ids.reshape(B, S * gs), n_hashes,
+        counts.reshape(B, C), lanes.reshape(B, C), n_hashes,
         rel_cutoff, rel_filter, hashes_limit,
-        top_k=top_k, num_targets=num_targets, tallies=False,
+        top_k=top_k, num_targets=C, tallies=False,
+    )
+    # surviving-group ids ride as packed u16 pairs (ceil(S/2) words)
+    gsel_u = jnp.where(slot_ok, gsel, 0xFFFF).astype(jnp.uint32)
+    gsel_words = tuple(
+        (gsel_u[:, 2 * i]
+         | (gsel_u[:, 2 * i + 1] << jnp.uint32(16)
+            if 2 * i + 1 < S else jnp.uint32(0xFFFF0000))).astype(
+             jnp.int32)
+        for i in range(-(-S // 2))
     )
     # per-target tallies via a GROUP-indexed scatter: [B, S] indices with
     # [gs]-lane payloads instead of B*S*gs scalar adds — the flat
@@ -1175,7 +1201,7 @@ def classify_batch_packed_pruned(
     res["disc_t"] = dt.reshape(-1)[:T]
     res["unique_t"] = ut.reshape(-1)[:T]
     return _pack_result(res, n_hashes, overflow, pack16=True,
-                        match_cap=match_cap)
+                        match_cap=match_cap, extra_rows=gsel_words)
 
 
 @partial(jax.jit, static_argnames=("top_k", "num_targets", "tallies"))
@@ -1189,9 +1215,12 @@ def threshold_topk_ids(
     the candidate axis is the pruned kernel's ``S x group_size`` lanes
     with explicit global target ids (sentinel ``num_targets`` marks
     invalid lanes) instead of a dense [B, T] matrix — the matrix the
-    wide-table regime can no longer afford to sort. Requires the pack16
-    bounds (ids and counts <= 0xFFFF; the engine gates on them).
-    Per-target tallies scatter-add into [T] (sentinel ids drop).
+    wide-table regime can no longer afford to sort. Requires u16-safe
+    ids and counts (<= 0xFFFF) — the pruned kernel passes LANE ids
+    (slot*group_size + offset, bounded by S*gs regardless of the
+    database's target count) and maps lane -> global on the host.
+    Per-target tallies scatter-add into [T] (sentinel ids drop) when
+    ``tallies`` is set.
     """
     nh = n_hashes.astype(jnp.float64)
     cutoff = jnp.maximum(jnp.ceil(nh * rel_cutoff), 1.0).astype(jnp.int32)

@@ -723,9 +723,12 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
     is_raptor = isinstance(f, dev.DeviceRaptorHIBF) and f.subs
     is_pruned = isinstance(f, dev.DevicePrunedForest)
     if is_pruned and (
-        f.num_targets > 0xFFFF or cfg.hashes_limit > 0xFFFF
+        f.num_groups > 0xFFFF or cfg.hashes_limit > 0xFFFF
     ):
-        return None  # pruned kernel requires the pack16 bounds
+        # counts must fit 16 bits and group ids must fit the packed u16
+        # words; target count itself is unbounded (matches ship as
+        # lane ids + per-read surviving-group words)
+        return None
     if not isinstance(f, dev.DeviceFilter) and not is_forest and not (
         is_raptor
     ) and not is_pruned:
@@ -743,7 +746,12 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
         batch, w, batch_pad
     )
     K = min(ctx.top_k_current, f.num_targets)
-    pack16 = f.num_targets <= 0xFFFF and cfg.hashes_limit <= 0xFFFF
+    if is_pruned:
+        K = min(ctx.top_k_current,
+                cfg.pruned_max_groups * f.group_size)
+        pack16 = True  # lane ids are always u16-safe
+    else:
+        pack16 = f.num_targets <= 0xFFFF and cfg.hashes_limit <= 0xFFFF
     cap = 0
     if pack16 and ctx.match_slots is not None:
         cap = batch_pad * ctx.match_slots
@@ -809,7 +817,11 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
             top_k=K, pack16=pack16, match_cap=cap,
         )
     _start_host_copy(packed)
-    return packed, batch_pad, K, f.num_targets, pack16, False, cap
+    pinfo = None
+    if is_pruned:
+        S = cfg.pruned_max_groups
+        pinfo = (S, f.group_size, -(-S // 2))
+    return packed, batch_pad, K, f.num_targets, pack16, False, cap, pinfo
 
 
 def _start_host_copy(packed) -> None:
@@ -867,7 +879,7 @@ def _dispatch_batch_fast_multi(batch: EncodedBatch, ctx: LevelContext,
         num_union=U, top_k=K, match_cap=cap,
     )
     _start_host_copy(packed)
-    return packed, batch_pad, K, U, True, True, cap
+    return packed, batch_pad, K, U, True, True, cap, None
 
 
 def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
@@ -878,8 +890,9 @@ def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
     ``timing`` (optional dict) accumulates the device->host fetch-block
     seconds under "fetch" — a SUB-term of the caller's "finish" — so
     the e2e split separates link transfer from host post-processing."""
-    batch, (packed, B_pad, K, T, pack16, has_win, cap) = pending
+    batch, (packed, B_pad, K, T, pack16, has_win, cap, pinfo) = pending
     B0 = len(batch)
+    n_extra = pinfo[2] if pinfo else 0
 
     def _fetch(arr):
         if timing is None:
@@ -891,7 +904,8 @@ def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
 
     if cap > 0:
         res = dev.unpack_batch_result_ragged(_fetch(packed), B_pad,
-                                             cap, T, K, has_win)
+                                             cap, T, K, has_win,
+                                             n_extra=n_extra)
         if res["cap_overflow"]:
             # the compacted match stream overran the cap: double the
             # per-read slot budget (sticky; dense layout once it stops
@@ -917,7 +931,8 @@ def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
             )
     else:
         res = dev.unpack_batch_result(
-            _fetch(packed), B_pad, K, T, pack16, has_win
+            _fetch(packed), B_pad, K, T, pack16, has_win,
+            n_extra=n_extra,
         )
     if not res["overflow"][:B0].any() and (
         res["n_matches"][:B0] > K
@@ -937,6 +952,24 @@ def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
             batch, ctx, cfg, rep, level_totals, first, last, out,
             one_files, all_files,
         )
+    if pinfo is not None:
+        # pruned kernel matches carry LANE ids (slot*gs + offset);
+        # reconstruct the per-read surviving-group ids from the packed
+        # u16 words and map to global target ids. Entries beyond
+        # n_matches map to garbage and are clamped (every consumer
+        # masks by n_matches before use).
+        S, gs, _ = pinfo
+        gsel = np.empty((B_pad, S), np.int64)
+        for i, w in enumerate(res["extra_rows"]):
+            gsel[:, 2 * i] = w & 0xFFFF
+            if 2 * i + 1 < S:
+                gsel[:, 2 * i + 1] = w >> 16
+        lanes = res["top_idx"]
+        slot = np.minimum(lanes // gs, S - 1)
+        g = np.take_along_axis(gsel[:lanes.shape[0]], slot, axis=1)
+        res["top_idx"] = np.minimum(
+            g * gs + lanes % gs, T - 1
+        ).astype(np.int32)
     nh = res["n_hashes"][:B0].astype(np.int64)
     l1 = batch.len1.astype(np.int64)
     l2 = (batch.len2.astype(np.int64) if batch.paired
