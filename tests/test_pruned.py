@@ -206,6 +206,21 @@ def test_true_reads_classified_to_source_target(small_db, tmp_path):
         assert t in matches.get(f"q{i}", set()), (i, t)
 
 
+def test_device_build_identical_to_host(small_db):
+    """The jitted columnsort-scatter build (chunked, dedup + OR on
+    device) produces bit-identical fine/coarse tables to the host numpy
+    scatter — same insert set, idempotent OR."""
+    genomes, th, pf_host = small_db
+    pf_dev = build_pruned(th, kmer_size=K, window_size=W, max_fp=0.05,
+                          group_size=16, device=True)
+    assert np.array_equal(pf_dev.fine, pf_host.fine)
+    assert np.array_equal(np.ascontiguousarray(pf_dev.coarse),
+                          pf_host.coarse)
+    assert pf_dev.targets() == pf_host.targets()
+    assert np.array_equal(pf_dev.grp_bin_size, pf_host.grp_bin_size)
+    assert pf_dev.coarse_bin_size == pf_host.coarse_bin_size
+
+
 def test_many_targets_beyond_u16(tmp_path):
     """The pruned fast path has no T <= 65535 bound (matches ship as
     lane ids + per-read surviving-group words; RefSeq-scale databases
