@@ -102,8 +102,8 @@ STAGE_EST = {
     "kernel_T8192": 60,
     "e2e_T8192": 60,
     "e2e_forest": 60,
-    "e2e_hierarchy": 45,
-    "e2e_multifilter": 40,
+    "e2e_hierarchy": 55,
+    "e2e_multifilter": 50,
     "e2e_mixedlen": 75,
     "build": 55,
     "e2e_refdata": 110,  # ~100k pairs x 4 passes + db load
@@ -688,7 +688,7 @@ def st_e2e_multifilter():
     """Two databases on ONE hierarchy level (per-read max across
     filters, merged on device — GanonClassify.cpp:504-541 multi-filter
     semantics): the T32 halves under a single label."""
-    n = 65536
+    n = 131072
     genomes, _, _ = build_database("T32")
     dbs = build_hierarchy_databases()
     fq = _reads_fastq("T32", genomes, n)

@@ -223,14 +223,14 @@ def _pack_result(res, n_hashes, overflow, *, pack16: bool, match_cap: int,
     this way). Unpack with unpack_batch_result /
     unpack_batch_result_ragged (matching ``n_extra``).
     """
-    tallies = [
-        res["matches_t"], res["disc_t"], res["unique_t"],
-        jnp.stack([
-            res["seqs_classified"].astype(jnp.int32),
-            res["kmers_from_classified"].astype(jnp.int32),
-            res["kmers_matches"].astype(jnp.int32),
-        ]),
-    ]
+    tallies = [res["disc_t"]]
+    if "matches_t" in res:
+        tallies.append(res["matches_t"])
+    tallies.append(jnp.stack([
+        res["seqs_classified"].astype(jnp.int32),
+        res["kmers_from_classified"].astype(jnp.int32),
+        res["kmers_matches"].astype(jnp.int32),
+    ]))
     if match_cap > 0:
         assert pack16, "ragged match transfer requires pack16"
         K = res["top_vals"].shape[1]
@@ -280,7 +280,7 @@ def _pack_result(res, n_hashes, overflow, *, pack16: bool, match_cap: int,
     jax.jit,
     static_argnames=(
         "k", "w", "L1", "L2", "bin_size", "hash_functions", "top_k",
-        "pack16", "match_cap", "sort_probes",
+        "pack16", "match_cap", "sort_probes", "emit_matches_t",
     ),
 )
 def classify_batch_packed(
@@ -288,7 +288,7 @@ def classify_batch_packed(
     rel_cutoff, rel_filter, hashes_limit, *,
     k: int, w: int, L1: int, L2: int, bin_size: int, hash_functions: int,
     top_k: int, pack16: bool, match_cap: int = 0,
-    sort_probes: bool = False,
+    sort_probes: bool = False, emit_matches_t: bool = True,
 ):
     """Whole per-batch device work in ONE dispatch, ONE int32 fetch.
 
@@ -370,7 +370,7 @@ def classify_batch_packed(
         )
     res = threshold_topk(
         counts, n_hashes, rel_cutoff, rel_filter, hashes_limit,
-        top_k=top_k, sort16=pack16,
+        top_k=top_k, sort16=pack16, emit_matches_t=emit_matches_t,
     )
     return _pack_result(res, n_hashes, overflow, pack16=pack16,
                         match_cap=match_cap)
@@ -380,7 +380,7 @@ def classify_batch_packed(
     jax.jit,
     static_argnames=(
         "k", "w", "L1", "L2", "sub_params", "top_k", "pack16",
-        "match_cap",
+        "match_cap", "emit_matches_t",
     ),
 )
 def classify_batch_packed_forest(
@@ -389,6 +389,7 @@ def classify_batch_packed_forest(
     k: int, w: int, L1: int, L2: int,
     sub_params: tuple,  # ((bin_size, hash_functions), ...) per sub-IBF
     top_k: int, pack16: bool, match_cap: int = 0,
+    emit_matches_t: bool = True,
 ):
     """classify_batch_packed over an IBF forest (native HIBF).
 
@@ -425,7 +426,7 @@ def classify_batch_packed_forest(
     )
     res = threshold_topk(
         counts, n_hashes, rel_cutoff, rel_filter, hashes_limit,
-        top_k=top_k, sort16=pack16,
+        top_k=top_k, sort16=pack16, emit_matches_t=emit_matches_t,
     )
     return _pack_result(res, n_hashes, overflow, pack16=pack16,
                         match_cap=match_cap)
@@ -435,7 +436,7 @@ def classify_batch_packed_forest(
     jax.jit,
     static_argnames=(
         "k", "w", "L1", "L2", "sub_params", "num_targets", "top_k",
-        "pack16", "match_cap",
+        "pack16", "match_cap", "emit_matches_t",
     ),
 )
 def classify_batch_packed_raptor(
@@ -444,6 +445,7 @@ def classify_batch_packed_raptor(
     k: int, w: int, L1: int, L2: int,
     sub_params: tuple,  # ((bin_size, hash_functions), ...) per sub-IBF
     num_targets: int, top_k: int, pack16: bool, match_cap: int = 0,
+    emit_matches_t: bool = True,
 ):
     """classify_batch_packed over a raptor-format HIBF.
 
@@ -478,7 +480,7 @@ def classify_batch_packed_raptor(
     counts = jnp.minimum(counts, n_hashes[:, None])
     res = threshold_topk(
         counts, n_hashes, rel_cutoff, rel_filter, hashes_limit,
-        top_k=top_k, sort16=pack16,
+        top_k=top_k, sort16=pack16, emit_matches_t=emit_matches_t,
     )
     return _pack_result(res, n_hashes, overflow, pack16=pack16,
                         match_cap=match_cap)
@@ -488,7 +490,7 @@ def classify_batch_packed_raptor(
     jax.jit,
     static_argnames=(
         "k", "w", "L1", "L2", "sub_params", "num_union", "top_k",
-        "match_cap",
+        "match_cap", "emit_matches_t",
     ),
 )
 def classify_batch_packed_multi(
@@ -497,6 +499,7 @@ def classify_batch_packed_multi(
     k: int, w: int, L1: int, L2: int,
     sub_params: tuple,  # ((bin_size, hash_functions), ...) per filter
     num_union: int, top_k: int, match_cap: int = 0,
+    emit_matches_t: bool = True,
 ):
     """classify_batch_packed over SEVERAL independent IBFs in one level.
 
@@ -557,6 +560,7 @@ def classify_batch_packed_multi(
     res = threshold_topk(
         ucounts, n_hashes, jnp.float64(0.0), rel_filter, hashes_limit,
         top_k=top_k, sort16=True, winners=uwin,
+        emit_matches_t=emit_matches_t,
     )
     return _pack_result(res, n_hashes, overflow, pack16=True,
                         match_cap=match_cap, with_win=True)
@@ -564,7 +568,8 @@ def classify_batch_packed_multi(
 
 def unpack_batch_result(packed: np.ndarray, B: int, K: int, T: int,
                         pack16: bool = True, has_win: bool = False,
-                        n_extra: int = 0) -> dict:
+                        n_extra: int = 0,
+                        has_matches_t: bool = True) -> dict:
     """Split a classify_batch_packed fetch back into the result dict."""
     o = 0
 
@@ -591,10 +596,10 @@ def unpack_batch_result(packed: np.ndarray, B: int, K: int, T: int,
         "n_hashes": take(B),
         "overflow": take(B).astype(bool),
         "extra_rows": [take(B).view(np.uint32) for _ in range(n_extra)],
-        "matches_t": take(T),
         "disc_t": take(T),
-        "unique_t": take(T),
     }
+    if has_matches_t:
+        out["matches_t"] = take(T)
     scalars = take(3)
     out["seqs_classified"] = scalars[0]
     out["kmers_from_classified"] = scalars[1]
@@ -605,7 +610,8 @@ def unpack_batch_result(packed: np.ndarray, B: int, K: int, T: int,
 def unpack_batch_result_ragged(packed: np.ndarray, B: int, C: int,
                                T: int, K: int,
                                has_win: bool = False,
-                               n_extra: int = 0) -> dict:
+                               n_extra: int = 0,
+                               has_matches_t: bool = True) -> dict:
     """Split a ragged classify_batch_packed fetch (match_cap layout).
 
     Reconstructs the [B, Kmax] top_vals/top_idx matrices from the
@@ -640,10 +646,10 @@ def unpack_batch_result_ragged(packed: np.ndarray, B: int, C: int,
         "overflow": overflow,
         "top_win": None,
         "extra_rows": [take(B).view(np.uint32) for _ in range(n_extra)],
-        "matches_t": take(T),
         "disc_t": take(T),
-        "unique_t": take(T),
     }
+    if has_matches_t:
+        out["matches_t"] = take(T)
     scalars = take(3)
     out["seqs_classified"] = scalars[0]
     out["kmers_from_classified"] = scalars[1]
@@ -746,10 +752,11 @@ class DeviceFilter:
         )
 
 
-@partial(jax.jit, static_argnames=("top_k", "sort16"))
+@partial(jax.jit, static_argnames=("top_k", "sort16", "emit_matches_t"))
 def threshold_topk(
     counts, n_hashes, rel_cutoff, rel_filter, hashes_limit, *,
     top_k: int, sort16: bool = False, winners=None,
+    emit_matches_t: bool = True,
 ):
     """Device-side rel-cutoff + rel-filter + top-K match compaction.
 
@@ -850,16 +857,17 @@ def threshold_topk(
         top_vals, top_idx = jax.lax.top_k(fvals, k)
     classified = n_matches > 0
     out = {} if top_win is None else {"top_win": top_win}
+    if emit_matches_t:
+        # only consumed by the host when fpr-query is off (the fpr
+        # branch recomputes matches from the top matrices); per-batch
+        # [T] payloads are the tunnel-fetch term at wide T
+        out["matches_t"] = final.sum(axis=0).astype(jnp.int32)
     return out | {
         "top_vals": top_vals.astype(jnp.int32),
         "top_idx": top_idx.astype(jnp.int32),
         "n_matches": n_matches,
         "max_count": max_count.astype(jnp.int32),
-        "matches_t": final.sum(axis=0).astype(jnp.int32),
         "disc_t": (kept & ~final).sum(axis=0).astype(jnp.int32),
-        "unique_t": (final & (n_matches == 1)[:, None]).sum(axis=0).astype(
-            jnp.int32
-        ),
         "seqs_classified": classified.sum().astype(jnp.int64),
         "kmers_from_classified": jnp.where(classified, n_hashes, 0)
         .sum()
@@ -1059,6 +1067,7 @@ def _pruned_fine_rows(hashes, sel_bsz, sel_shift, sel_off, *, fine_h: int):
     static_argnames=(
         "k", "w", "L1", "L2", "coarse_bin_size", "coarse_h", "fine_h",
         "max_groups", "group_size", "num_targets", "top_k", "match_cap",
+        "emit_matches_t",
     ),
 )
 def classify_batch_packed_pruned(
@@ -1067,7 +1076,7 @@ def classify_batch_packed_pruned(
     k: int, w: int, L1: int, L2: int,
     coarse_bin_size: int, coarse_h: int, fine_h: int,
     max_groups: int, group_size: int, num_targets: int,
-    top_k: int, match_cap: int = 0,
+    top_k: int, match_cap: int = 0, emit_matches_t: bool = True,
 ):
     """One-dispatch pruned classify: coarse gate -> top-S fine probes.
 
@@ -1186,20 +1195,16 @@ def classify_batch_packed_pruned(
     # indices with vectorized rows
     final3 = res.pop("final").reshape(B, S, gs)
     kept3 = res.pop("kept").reshape(B, S, gs)
-    nm1 = (res["n_matches"] == 1)[:, None, None]
     T = num_targets
-    mt = jnp.zeros((G, gs), jnp.int32).at[gsel].add(
-        final3.astype(jnp.int32), mode="drop"
-    )
     dt = jnp.zeros((G, gs), jnp.int32).at[gsel].add(
         (kept3 & ~final3).astype(jnp.int32), mode="drop"
     )
-    ut = jnp.zeros((G, gs), jnp.int32).at[gsel].add(
-        (final3 & nm1).astype(jnp.int32), mode="drop"
-    )
-    res["matches_t"] = mt.reshape(-1)[:T]
     res["disc_t"] = dt.reshape(-1)[:T]
-    res["unique_t"] = ut.reshape(-1)[:T]
+    if emit_matches_t:
+        mt = jnp.zeros((G, gs), jnp.int32).at[gsel].add(
+            final3.astype(jnp.int32), mode="drop"
+        )
+        res["matches_t"] = mt.reshape(-1)[:T]
     return _pack_result(res, n_hashes, overflow, pack16=True,
                         match_cap=match_cap, extra_rows=gsel_words)
 
@@ -1280,10 +1285,6 @@ def threshold_topk_ids(
     )
     out["disc_t"] = jnp.zeros((T,), jnp.int32).at[ids.reshape(-1)].add(
         (kept & ~final).astype(jnp.int32).reshape(-1), mode="drop"
-    )
-    out["unique_t"] = jnp.zeros((T,), jnp.int32).at[ids.reshape(-1)].add(
-        (final & (n_matches == 1)[:, None]).astype(jnp.int32).reshape(-1),
-        mode="drop",
     )
     return out
 

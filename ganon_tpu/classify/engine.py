@@ -758,6 +758,9 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
         if cap >= batch_pad * K:
             cap = 0  # dense is no larger — use it
     inbuf = dev.pack_batch_input(codes1, len1, codes2, len2)
+    # per-batch [T] matches_t is only consumed when fpr-query is off
+    # (static per level); skipping it cuts the per-batch fetch payload
+    emit_mt = ctx.level.fpr_query >= 1.0
     if is_pruned:
         packed = dev.classify_batch_packed_pruned(
             f.ctbl, f.ftbl, f.grp_row_off, f.grp_bin_size, f.grp_shift,
@@ -769,7 +772,7 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
             coarse_bin_size=f.coarse_bin_size, coarse_h=f.coarse_h,
             fine_h=f.fine_h, max_groups=cfg.pruned_max_groups,
             group_size=f.group_size, num_targets=f.num_targets,
-            top_k=K, match_cap=cap,
+            top_k=K, match_cap=cap, emit_matches_t=emit_mt,
         )
     elif is_raptor:
         import jax.numpy as jnp
@@ -788,6 +791,7 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
             ),
             num_targets=f.num_targets,
             top_k=K, pack16=pack16, match_cap=cap,
+            emit_matches_t=emit_mt,
         )
     elif is_forest:
         import jax.numpy as jnp
@@ -805,6 +809,7 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
                 for s in f.subs
             ),
             top_k=K, pack16=pack16, match_cap=cap,
+            emit_matches_t=emit_mt,
         )
     else:
         packed = dev.classify_batch_packed(
@@ -815,13 +820,15 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
             bin_size=f.ibf_config.bin_size_bits,
             hash_functions=f.ibf_config.hash_functions,
             top_k=K, pack16=pack16, match_cap=cap,
+            emit_matches_t=emit_mt,
         )
     _start_host_copy(packed)
     pinfo = None
     if is_pruned:
         S = cfg.pruned_max_groups
         pinfo = (S, f.group_size, -(-S // 2))
-    return packed, batch_pad, K, f.num_targets, pack16, False, cap, pinfo
+    return (packed, batch_pad, K, f.num_targets, pack16, False, cap,
+            pinfo, emit_mt)
 
 
 def _start_host_copy(packed) -> None:
@@ -877,9 +884,11 @@ def _dispatch_batch_fast_multi(batch: EncodedBatch, ctx: LevelContext,
             for f in ctx.filters
         ),
         num_union=U, top_k=K, match_cap=cap,
+        emit_matches_t=ctx.level.fpr_query >= 1.0,
     )
     _start_host_copy(packed)
-    return packed, batch_pad, K, U, True, True, cap, None
+    return (packed, batch_pad, K, U, True, True, cap, None,
+            ctx.level.fpr_query >= 1.0)
 
 
 def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
@@ -890,7 +899,8 @@ def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
     ``timing`` (optional dict) accumulates the device->host fetch-block
     seconds under "fetch" — a SUB-term of the caller's "finish" — so
     the e2e split separates link transfer from host post-processing."""
-    batch, (packed, B_pad, K, T, pack16, has_win, cap, pinfo) = pending
+    batch, (packed, B_pad, K, T, pack16, has_win, cap, pinfo,
+            emit_mt) = pending
     B0 = len(batch)
     n_extra = pinfo[2] if pinfo else 0
 
@@ -905,7 +915,8 @@ def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
     if cap > 0:
         res = dev.unpack_batch_result_ragged(_fetch(packed), B_pad,
                                              cap, T, K, has_win,
-                                             n_extra=n_extra)
+                                             n_extra=n_extra,
+                                             has_matches_t=emit_mt)
         if res["cap_overflow"]:
             # the compacted match stream overran the cap: double the
             # per-read slot budget (sticky; dense layout once it stops
@@ -932,7 +943,7 @@ def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
     else:
         res = dev.unpack_batch_result(
             _fetch(packed), B_pad, K, T, pack16, has_win,
-            n_extra=n_extra,
+            n_extra=n_extra, has_matches_t=emit_mt,
         )
     if not res["overflow"][:B0].any() and (
         res["n_matches"][:B0] > K
@@ -1077,6 +1088,7 @@ def _classify_batch(
             top_k=cfg.top_k_matches,
             sort16=(ctx.filters[0].num_targets <= 0xFFFF
                     and cfg.hashes_limit <= 0xFFFF),
+            emit_matches_t=ctx.level.fpr_query >= 1.0,
         )
         res = {k: np.asarray(v) for k, v in res.items()}
         if not (res["n_matches"][:B0] > res["top_vals"].shape[1]).any():
