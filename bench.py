@@ -680,8 +680,11 @@ def st_e2e_hierarchy():
         rel_cutoff=[0.75, 0.75],
         rel_filter=[0.1, 0.1], fpr_query=[1e-5, 1e-5],
     )
-    v = _time_e2e(kw, n)
-    return {"e2e_hierarchy": round(v, 1)}
+    extra = {}
+    v = _time_e2e(kw, n, breakdown_into=extra,
+                  breakdown_key="e2e_hierarchy_split")
+    extra["e2e_hierarchy"] = round(v, 1)
+    return extra
 
 
 def st_e2e_multifilter():
@@ -697,8 +700,11 @@ def st_e2e_multifilter():
         hierarchy_labels=["H1", "H1"],
         rel_cutoff=[0.75, 0.75],
     )
-    v = _time_e2e(kw, n)
-    return {"e2e_multifilter": round(v, 1)}
+    extra = {}
+    v = _time_e2e(kw, n, breakdown_into=extra,
+                  breakdown_key="e2e_multifilter_split")
+    extra["e2e_multifilter"] = round(v, 1)
+    return extra
 
 
 def st_e2e_mixedlen():
