@@ -1067,7 +1067,7 @@ def _pruned_fine_rows(hashes, sel_bsz, sel_shift, sel_off, *, fine_h: int):
     static_argnames=(
         "k", "w", "L1", "L2", "coarse_bin_size", "coarse_h", "fine_h",
         "max_groups", "group_size", "num_targets", "top_k", "match_cap",
-        "emit_matches_t",
+        "emit_matches_t", "pair_cap",
     ),
 )
 def classify_batch_packed_pruned(
@@ -1077,6 +1077,7 @@ def classify_batch_packed_pruned(
     coarse_bin_size: int, coarse_h: int, fine_h: int,
     max_groups: int, group_size: int, num_targets: int,
     top_k: int, match_cap: int = 0, emit_matches_t: bool = True,
+    pair_cap: int = 0,
 ):
     """One-dispatch pruned classify: coarse gate -> top-S fine probes.
 
@@ -1088,6 +1089,14 @@ def classify_batch_packed_pruned(
     more surviving groups sets its overflow flag and the engine falls
     back to the probe-all gated path). Probed fine bytes drop from the
     full table width to ``S x group_size/8`` per hash.
+
+    ``pair_cap`` > 0 compacts the fine stage further: only the actual
+    surviving (read, slot) pairs (at most ``pair_cap`` of them, in
+    read-major order) hash and gather, instead of every read paying all
+    S slots — at default cutoffs survivors average ~1 of S=2, so the
+    fine probes drop another ~(1 - cap/(B*S)). Reads whose pairs spill
+    past the cap set their overflow flag (exact probe-all fallback,
+    same contract as ``n_surv > S``). 0 = dense [B, S] fine stage.
 
     Packed output layout = classify_batch_packed (pack16 always; gated
     semantics — see index.pruned module docstring).
@@ -1140,19 +1149,61 @@ def classify_batch_packed_pruned(
     sel_off = grp_row_off[gsel]  # [B, S] int32
     sel_bsz = grp_bin_size[gsel].astype(jnp.uint64)
     sel_shift = grp_shift[gsel].astype(jnp.uint64)
-    frows = _pruned_fine_rows(
-        hashes, sel_bsz, sel_shift, sel_off, fine_h=fine_h
-    )  # [B, S, M, H]
-    member = ftbl[frows[..., 0]]  # [B, S, M, Wf]
-    for s in range(1, fine_h):
-        member = member & ftbl[frows[..., s]]
-    zero = member.dtype.type(0)
-    fmask = mask[:, None, :, None] & slot_ok[:, :, None, None]
-    member = jnp.where(fmask, member, zero)
-    nbits = 32 if member.dtype == jnp.uint32 else 8
-    # expansion width can exceed gs (table_as_u32 pads rows to x4 bytes)
-    planes = _bit_expand(member, nbits)[..., :gs]  # [B, S, M, gs]
-    counts = jnp.sum(planes.astype(jnp.int32), axis=2)  # [B, S, gs]
+    nbits = 32 if ftbl.dtype == jnp.uint32 else 8
+    if pair_cap and pair_cap < B * S:
+        # (read, slot) pair compaction: cumsum-position the surviving
+        # pairs read-major, scatter their coordinates into pair_cap
+        # static slots (drop past the cap; spilled reads -> overflow),
+        # then hash/gather/expand on [P, M] instead of [B, S, M]
+        P = pair_cap
+        n_slots = slot_ok.sum(axis=1).astype(jnp.int32)
+        read_end = jnp.cumsum(n_slots)
+        overflow = overflow | ((read_end > P) & (n_slots > 0))
+        flat_ok = slot_ok.reshape(-1)
+        pos = jnp.cumsum(flat_ok.astype(jnp.int32)) - 1
+        tgt = jnp.where(flat_ok, jnp.minimum(pos, P), P)
+        pair_read = jnp.full((P,), B, jnp.int32).at[tgt].set(
+            jnp.repeat(jnp.arange(B, dtype=jnp.int32), S), mode="drop"
+        )
+        pair_slot = jnp.zeros((P,), jnp.int32).at[tgt].set(
+            jnp.tile(jnp.arange(S, dtype=jnp.int32), B), mode="drop"
+        )
+        pvalid = pair_read < B  # slots past the last pair stay sentinel
+        pr = jnp.where(pvalid, pair_read, 0)
+        ps = pair_slot
+        frows = _pruned_fine_rows(
+            hashes[pr],
+            sel_bsz[pr, ps][:, None],
+            sel_shift[pr, ps][:, None],
+            sel_off[pr, ps][:, None],
+            fine_h=fine_h,
+        )  # [P, 1, M, H]
+        member = ftbl[frows[:, 0, :, 0]]  # [P, M, Wf]
+        for s in range(1, fine_h):
+            member = member & ftbl[frows[:, 0, :, s]]
+        zero = member.dtype.type(0)
+        pmask = mask[pr] & pvalid[:, None]
+        member = jnp.where(pmask[:, :, None], member, zero)
+        planes = _bit_expand(member, nbits)[..., :gs]  # [P, M, gs]
+        pcounts = jnp.sum(planes.astype(jnp.int32), axis=1).astype(
+            jnp.int32
+        )  # [P, gs] (sum promotes to i64 under x64; scatter wants i32)
+        counts = jnp.zeros((B, S, gs), jnp.int32).at[pair_read, pair_slot].add(
+            pcounts, mode="drop"
+        )
+    else:
+        frows = _pruned_fine_rows(
+            hashes, sel_bsz, sel_shift, sel_off, fine_h=fine_h
+        )  # [B, S, M, H]
+        member = ftbl[frows[..., 0]]  # [B, S, M, Wf]
+        for s in range(1, fine_h):
+            member = member & ftbl[frows[..., s]]
+        zero = member.dtype.type(0)
+        fmask = mask[:, None, :, None] & slot_ok[:, :, None, None]
+        member = jnp.where(fmask, member, zero)
+        # expansion width can exceed gs (table_as_u32 pads rows x4)
+        planes = _bit_expand(member, nbits)[..., :gs]  # [B, S, M, gs]
+        counts = jnp.sum(planes.astype(jnp.int32), axis=2)  # [B, S, gs]
     counts = jnp.minimum(counts, n_hashes[:, None, None])
 
     # LANE ids (slot*gs + offset <= S*gs-1, always u16-safe) instead of

@@ -87,6 +87,15 @@ class ClassifyConfig:
     # 39% faster than 4 at T=8192 (every masked slot still gathers);
     # at the default rel-cutoff (0.75) multi-group survivors are rare
     pruned_max_groups: int = 2
+    # (read, slot) pair compaction for the pruned fine stage: the fine
+    # gather sizes to ~frac x B pairs instead of B x S slots (surviving
+    # groups average well under 1 at default cutoffs, so masked slots
+    # are ~half the probes; P=B measured +14% kernel at T=8192). A
+    # batch whose pairs spill past the cap is retried once with dense
+    # slots (exact), and the level's cap self-tunes upward so spilling
+    # workloads converge to dense instead of double-dispatching.
+    # <= 0 = off.
+    pruned_pair_frac: float = 1.0
     device_thresholding: bool = True  # on-device cutoff/filter + top-K
     top_k_matches: int = 128  # compact output width (falls back if exceeded)
     use_mesh: bool = True  # shard over all devices when more than one
@@ -326,6 +335,9 @@ class LevelContext:
         # the default-cutoff regime (~30-40% classified, mostly unique)
         # with headroom; doubles sticky on cap overflow, None = dense
         self.match_slots: int | None = 2
+        # pruned (read, slot) pair-compaction cap as a fraction of B;
+        # bumps sticky when a batch's pairs spill past the cap
+        self.pair_frac: float = getattr(cfg, "pruned_pair_frac", 0.0)
 
         # taxonomy: merge (first wins), add missing targets under root
         self.tax: dict[str, tuple[str, str, str]] = {}
@@ -335,6 +347,13 @@ class LevelContext:
             for t in self.union_targets:
                 if t not in self.tax:
                     self.tax[t] = (cfg.tax_root_node, "no rank", t)
+        # per-prefix vectorized tally accumulators: the host finish adds
+        # whole [T] arrays per batch (bincounts / device tallies) and the
+        # per-target Rep objects materialize ONCE at level end
+        # (_fold_tallies) — per-batch Python loops over matched targets
+        # were the dominant host-post term at T=8192
+        self._tally: dict[str, dict[str, np.ndarray]] = {}
+        self._lca_tally: dict[str, dict[str, int]] = {}
         self.lca: LCA | None = None
         self.union_lca_ids: np.ndarray | None = None
         if not cfg.skip_lca:
@@ -345,6 +364,44 @@ class LevelContext:
             self.lca = build_lca(self.tax, cfg.tax_root_node)
             # union column -> LCA node id, for the batched per-row LCA
             self.union_lca_ids = self.lca.encode_ids(self.union_targets)
+
+    def tally(self, prefix: str) -> dict[str, np.ndarray]:
+        t = self._tally.get(prefix)
+        if t is None:
+            T = len(self.union_targets)
+            t = {
+                k: np.zeros(T, np.int64)
+                for k in ("matches", "seqs_unique", "disc_filter",
+                          "disc_fpr")
+            }
+            self._tally[prefix] = t
+        return t
+
+    def lca_tally(self, prefix: str) -> dict[str, int]:
+        d = self._lca_tally.get(prefix)
+        if d is None:
+            d = {}
+            self._lca_tally[prefix] = d
+        return d
+
+
+def _fold_tallies(rep: dict, ctx: LevelContext) -> None:
+    """Materialize the level's accumulated tallies into Rep objects
+    (union-target order, then LCA nodes) before .rep writing."""
+    for prefix, t in ctx._tally.items():
+        nz = np.nonzero(
+            t["matches"] | t["seqs_unique"] | t["disc_filter"]
+            | t["disc_fpr"]
+        )[0]
+        for j in nz:
+            r = rep.setdefault((prefix, ctx.union_targets[j]), Rep())
+            r.matches += int(t["matches"][j])
+            r.seqs_unique += int(t["seqs_unique"][j])
+            r.disc_filter += int(t["disc_filter"][j])
+            r.disc_fpr += int(t["disc_fpr"][j])
+    for prefix, d in ctx._lca_tally.items():
+        for node, n in d.items():
+            rep.setdefault((prefix, node), Rep()).seqs_lca += n
 
 
 # --------------------------------------------------------------------------
@@ -613,6 +670,7 @@ def run_classify(cfg: ClassifyConfig) -> dict:
                     if fld != "input_seqs":
                         setattr(tt, fld, getattr(tt, fld) + getattr(t, fld))
             if r.ctx is not None:
+                _fold_tallies(r.rep, r.ctx)
                 _write_rep(r.rep, r.ctx, cfg, r.label, out)
             if r.li + 1 >= len(runners):
                 return
@@ -762,6 +820,13 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
     # (static per level); skipping it cuts the per-batch fetch payload
     emit_mt = ctx.level.fpr_query >= 1.0
     if is_pruned:
+        S = cfg.pruned_max_groups
+        pair_cap = 0
+        if ctx.pair_frac > 0 and S > 1:
+            # round to a 256 multiple so bucketed batch sizes share
+            # compiled programs; the kernel ignores caps >= B*S
+            pair_cap = -(-int(batch_pad * ctx.pair_frac) // 256) * 256
+            pair_cap = min(pair_cap, batch_pad * S)
         packed = dev.classify_batch_packed_pruned(
             f.ctbl, f.ftbl, f.grp_row_off, f.grp_bin_size, f.grp_shift,
             f.grp_ntargets, f.put_batch(inbuf),
@@ -773,6 +838,7 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
             fine_h=f.fine_h, max_groups=cfg.pruned_max_groups,
             group_size=f.group_size, num_targets=f.num_targets,
             top_k=K, match_cap=cap, emit_matches_t=emit_mt,
+            pair_cap=pair_cap,
         )
     elif is_raptor:
         import jax.numpy as jnp
@@ -826,7 +892,8 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
     pinfo = None
     if is_pruned:
         S = cfg.pruned_max_groups
-        pinfo = (S, f.group_size, -(-S // 2))
+        pinfo = (S, f.group_size, -(-S // 2),
+                 0 < pair_cap < batch_pad * S)
     return (packed, batch_pad, K, f.num_targets, pack16, False, cap,
             pinfo, emit_mt)
 
@@ -959,6 +1026,24 @@ def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
             )
     if (res["overflow"][:B0].any()
             or (res["n_matches"][:B0] > K).any()):
+        if (pinfo is not None and pinfo[3]
+                and res["overflow"][:B0].any()):
+            # overflow with pair compaction active may be a pair-cap
+            # spill, not true multi-group overflow: retry once with
+            # dense slots (exact), and bump the level's cap sticky so a
+            # spilling workload converges to dense instead of paying a
+            # double dispatch per batch. True overflow (n_surv > S,
+            # hash-compaction) survives the dense retry and falls
+            # through to the probe-all path below.
+            ctx.pair_frac += 0.5
+            saved, ctx.pair_frac = ctx.pair_frac, 0.0
+            disp = _dispatch_batch_fast(batch, ctx, cfg)
+            ctx.pair_frac = saved
+            if disp is not None:
+                return _finish_batch_fast(
+                    (batch, disp), ctx, cfg, rep, level_totals, first,
+                    last, out, one_files, all_files, timing=timing,
+                )
         return _classify_batch(
             batch, ctx, cfg, rep, level_totals, first, last, out,
             one_files, all_files,
@@ -969,7 +1054,7 @@ def _finish_batch_fast(pending, ctx, cfg, rep, level_totals, first, last,
         # u16 words and map to global target ids. Entries beyond
         # n_matches map to garbage and are clamped (every consumer
         # masks by n_matches before use).
-        S, gs, _ = pinfo
+        S, gs = pinfo[0], pinfo[1]
         gsel = np.empty((B_pad, S), np.int64)
         for i, w in enumerate(res["extra_rows"]):
             gsel[:, 2 * i] = w & 0xFFFF
@@ -1141,18 +1226,11 @@ def _classify_batch(
     # rel-filter discards
     disc_f = kept_any & ~pass_filter
     prefix = batch.prefix
-
-    def _rep(target: str) -> Rep:
-        key = (prefix, target)
-        r = rep.get(key)
-        if r is None:
-            r = Rep()
-            rep[key] = r
-        return r
+    tal = ctx.tally(prefix)
+    T = len(ctx.union_targets)
 
     if disc_f.any():
-        for j, n in zip(*_colsum(disc_f)):
-            _rep(ctx.union_targets[j]).disc_filter += int(n)
+        tal["disc_filter"] += disc_f.sum(axis=0)[:T]
         tot.discarded_matches_filter += int(disc_f.sum())
 
     # fpr-query filter: vectorized count-threshold comparison (the
@@ -1167,8 +1245,7 @@ def _classify_batch(
             final[ii[drop], jj[drop]] = False
             disc_q = pass_filter & ~final
             if disc_q.any():
-                for j, n in zip(*_colsum(disc_q)):
-                    _rep(ctx.union_targets[j]).disc_fpr += int(n)
+                tal["disc_fpr"] += disc_q.sum(axis=0)[:T]
                 tot.discarded_matches_fprquery += int(disc_q.sum())
 
     classified = final.any(axis=1)
@@ -1180,8 +1257,7 @@ def _classify_batch(
     tot.matches += int(n_matches.sum())
     tot.seqs_unique += int((classified & (n_matches == 1)).sum())
 
-    for j, n in zip(*_colsum(final)):
-        _rep(ctx.union_targets[j]).matches += int(n)
+    tal["matches"] += final.sum(axis=0)[:T]
 
     # vectorized finish (mirrors _finish_batch_compact): bincount
     # accounting + deferred line formatting on the writer thread
@@ -1192,11 +1268,10 @@ def _classify_batch(
 
     if len(uniq_rows):
         u_t = np.argmax(final[uniq_rows], axis=1)
-        uj, un = np.unique(u_t, return_counts=True)
-        for j, n in zip(uj, un):
-            _rep(tn[int(j)]).seqs_unique += int(n)
+        tal["seqs_unique"] += np.bincount(u_t, minlength=T)[:T]
     lca_of: list[str] = []
     if len(multi_rows):
+        ltal = ctx.lca_tally(prefix)
         if not cfg.skip_lca:
             # batched per-row LCA: left-align each row's match columns,
             # then one RMQ per read (lca.lca_rows)
@@ -1205,12 +1280,17 @@ def _classify_batch(
             nm = n_matches[multi_rows].astype(np.int32)
             cols = order[:, : int(nm.max())]
             lca_ids = ctx.lca.lca_rows(ctx.union_lca_ids[cols], nm)
-            lca_of = [ctx.lca.decode_id(int(i)) for i in lca_ids]
             lj, ln_ = np.unique(lca_ids, return_counts=True)
-            for i, n in zip(lj, ln_):
-                _rep(ctx.lca.decode_id(int(i))).seqs_lca += int(n)
+            names = [ctx.lca.decode_id(int(i)) for i in lj]
+            for name, n in zip(names, ln_):
+                ltal[name] = ltal.get(name, 0) + int(n)
+            if cfg.output_lca:
+                remap = {int(i): nm_ for i, nm_ in zip(lj, names)}
+                lca_of = [remap[int(i)] for i in lca_ids]
         else:
-            _rep(cfg.tax_root_node).seqs_lca += len(multi_rows)
+            ltal[cfg.tax_root_node] = (
+                ltal.get(cfg.tax_root_node, 0) + len(multi_rows)
+            )
 
     if cfg.output_all:
         ai, aj = np.nonzero(final)
@@ -1289,17 +1369,11 @@ def _finish_batch_compact(
     n_matches = res["n_matches"][:B0].astype(np.int64).copy()
     max_count = res["max_count"][:B0].astype(np.int64)
 
-    def _rep(target: str) -> Rep:
-        key = (prefix, target)
-        r = rep.get(key)
-        if r is None:
-            r = Rep()
-            rep[key] = r
-        return r
+    tal = ctx.tally(prefix)
+    T = len(ctx.union_targets)
 
     # rel-filter discards (device tally; unaffected by fpr-query)
-    for j in np.nonzero(res["disc_t"])[0]:
-        _rep(ctx.union_targets[j]).disc_filter += int(res["disc_t"][j])
+    tal["disc_filter"] += res["disc_t"]
     tot.discarded_matches_filter += int(res["disc_t"].sum())
 
     if ctx.level.fpr_query < 1.0:
@@ -1322,11 +1396,8 @@ def _finish_batch_compact(
             keep[ii, jj] = top_vals[ii, jj] >= cmin
             disc = valid & ~keep
             if disc.any():
-                dt = np.bincount(
-                    top_idx[disc], minlength=len(ctx.union_targets)
-                )
-                for j in np.nonzero(dt)[0]:
-                    _rep(ctx.union_targets[j]).disc_fpr += int(dt[j])
+                tal["disc_fpr"] += np.bincount(top_idx[disc],
+                                               minlength=T)[:T]
                 tot.discarded_matches_fprquery += int(disc.sum())
                 order = np.argsort(~keep, axis=1, kind="stable")
                 top_idx = np.take_along_axis(top_idx, order, axis=1)
@@ -1339,11 +1410,7 @@ def _finish_batch_compact(
         tot.matches += int(n_matches.sum())
         tot.seqs_unique += int((n_matches == 1).sum())
         vkeep = np.arange(top_vals.shape[1])[None, :] < n_matches[:, None]
-        mt = np.bincount(
-            top_idx[vkeep], minlength=len(ctx.union_targets)
-        )
-        for j in np.nonzero(mt)[0]:
-            _rep(ctx.union_targets[j]).matches += int(mt[j])
+        tal["matches"] += np.bincount(top_idx[vkeep], minlength=T)[:T]
     else:
         classified = n_matches > 0
         tot.seqs_classified += int(res["seqs_classified"])
@@ -1351,8 +1418,7 @@ def _finish_batch_compact(
         tot.kmers_matches += int(res["kmers_matches"])
         tot.matches += int(n_matches.sum())
         tot.seqs_unique += int((n_matches == 1).sum())
-        for j in np.nonzero(res["matches_t"])[0]:
-            _rep(ctx.union_targets[j]).matches += int(res["matches_t"][j])
+        tal["matches"] += res["matches_t"]
 
     # vectorized finish: bincount accounting + deferred line formatting
     # on the writer thread (overlaps the next batch's device wait)
@@ -1362,23 +1428,30 @@ def _finish_batch_compact(
     multi_rows = np.nonzero(n_matches > 1)[0]
 
     if len(uniq_rows):
-        uj, un = np.unique(top_idx[uniq_rows, 0], return_counts=True)
-        for j, n in zip(uj, un):
-            _rep(tn[int(j)]).seqs_unique += int(n)
+        tal["seqs_unique"] += np.bincount(top_idx[uniq_rows, 0],
+                                          minlength=T)[:T]
     lca_of: list[str] = []
     if len(multi_rows):
+        ltal = ctx.lca_tally(prefix)
         if not cfg.skip_lca:
             # batched per-row LCA (one RMQ per read, no Python fold)
             lca_ids = ctx.lca.lca_rows(
                 ctx.union_lca_ids[top_idx[multi_rows]],
                 n_matches[multi_rows],
             )
-            lca_of = [ctx.lca.decode_id(int(i)) for i in lca_ids]
             lj, ln_ = np.unique(lca_ids, return_counts=True)
-            for i, n in zip(lj, ln_):
-                _rep(ctx.lca.decode_id(int(i))).seqs_lca += int(n)
+            names = [ctx.lca.decode_id(int(i)) for i in lj]
+            for name, n in zip(names, ln_):
+                ltal[name] = ltal.get(name, 0) + int(n)
+            if cfg.output_lca:
+                # decoded strings are only needed for .one lines; map
+                # through the (small) unique set instead of per-read
+                remap = {int(i): nm for i, nm in zip(lj, names)}
+                lca_of = [remap[int(i)] for i in lca_ids]
         else:
-            _rep(cfg.tax_root_node).seqs_lca += len(multi_rows)
+            ltal[cfg.tax_root_node] = (
+                ltal.get(cfg.tax_root_node, 0) + len(multi_rows)
+            )
 
     if cfg.output_all:
         vmask = np.arange(top_vals.shape[1])[None, :] < n_matches[:, None]
@@ -1426,12 +1499,6 @@ def _finish_batch_compact(
             )
         return None
     return batch.select(left.astype(np.int64))
-
-
-def _colsum(mask: np.ndarray):
-    s = mask.sum(axis=0)
-    j = np.nonzero(s)[0]
-    return j, s[j]
 
 
 def _write_rep(rep, ctx: LevelContext, cfg: ClassifyConfig, label, out: _Out):

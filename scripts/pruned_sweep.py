@@ -50,7 +50,8 @@ def get_db(name, fine_h, coarse_h, coarse_fp, gs):
     return pf
 
 
-def time_variant(name, genomes, pf, S, B, n_batches=8, Lb=None):
+def time_variant(name, genomes, pf, S, B, n_batches=8, Lb=None,
+                 pair_cap=0):
     f = dev.DevicePrunedForest(pf)
     rng = np.random.default_rng(7)
     L = READ_LEN
@@ -75,6 +76,7 @@ def time_variant(name, genomes, pf, S, B, n_batches=8, Lb=None):
             coarse_bin_size=pf.coarse_bin_size, coarse_h=pf.coarse_h,
             fine_h=pf.fine_h, max_groups=S, group_size=pf.group_size,
             num_targets=f.num_targets, top_k=4, match_cap=2 * B,
+            pair_cap=pair_cap,
         )
 
     t0 = time.time()
@@ -92,7 +94,8 @@ def time_variant(name, genomes, pf, S, B, n_batches=8, Lb=None):
         best = min(best, time.time() - t0)
     rate = B * n_batches / best
     print(f"S={S} fh={pf.fine_h} ch={pf.coarse_h} cfp={pf.coarse_fp} "
-          f"B={B} Lb={Lb}: {rate:,.0f} reads/s ({best*1000/n_batches:.1f} ms/b; "
+          f"B={B} Lb={Lb} P={pair_cap}: "
+          f"{rate:,.0f} reads/s ({best*1000/n_batches:.1f} ms/b; "
           f"compile+first {tc:.0f}s; cls {int(res['seqs_classified'])}, "
           f"ovf {int(res['overflow'].sum())})")
     return rate
@@ -104,16 +107,17 @@ def main():
     jax.block_until_ready(jnp.ones((8,)).sum())
     genomes = _genomes(name)
     variants = [
-        # (S, fine_h, coarse_h, coarse_fp, B, Lb)
-        (2, 1, 1, 0.1, 8192, None),    # one coarse gather
-        (2, 1, 1, 0.1, 8192, 160),     # finer length bucket: M 72->56
-        (1, 1, 1, 0.1, 8192, 160),     # S=1 floor (info only)
-        (2, 1, 1, 0.05, 8192, 160),    # tighter coarse fp
+        # (S, fine_h, coarse_h, coarse_fp, B, Lb, pair_cap)
+        (2, 1, 1, 0.1, 8192, 160, 0),        # round-4 best (dense slots)
+        (1, 1, 1, 0.1, 8192, 160, 0),        # S=1 floor (info only)
+        (2, 1, 1, 0.1, 8192, 160, 8192),     # pairs = 1.00 B
+        (2, 1, 1, 0.1, 8192, 160, 10240),    # pairs = 1.25 B
+        (2, 1, 1, 0.1, 8192, 160, 12288),    # pairs = 1.50 B
     ]
-    for S, fh, ch, cfp, B, Lb in variants:
+    for S, fh, ch, cfp, B, Lb, pc in variants:
         pf = get_db(name, fh, ch, cfp, 64)
         try:
-            time_variant(name, genomes, pf, S, B, Lb=Lb)
+            time_variant(name, genomes, pf, S, B, Lb=Lb, pair_cap=pc)
         except Exception as e:
             print(f"variant failed: {e!r}")
 

@@ -166,6 +166,67 @@ def test_group_overflow_falls_back_identical(small_db, tmp_path):
     assert wide == narrow
 
 
+def test_pair_compaction_identical_outputs(small_db, tmp_path):
+    """(read, slot) pair compaction (pruned_pair_frac) must not change
+    outputs at any cap: ample cap computes the same counts; a cap too
+    small for the batch spills reads to the exact fallback."""
+    genomes, th, pf = small_db
+    db = str(tmp_path / "db.hibf")
+    pf.save(db)
+    reads = str(tmp_path / "r.fq")
+    _write_reads(reads, np.random.default_rng(31), genomes, 300,
+                 chimeric=set(range(0, 300, 7)))
+    on = _run(db, reads, str(tmp_path / "on"), rel_cutoff=[0.2])
+    off = _run(db, reads, str(tmp_path / "off"), rel_cutoff=[0.2],
+               pruned_pair_frac=0.0)
+    tiny = _run(db, reads, str(tmp_path / "tiny"), rel_cutoff=[0.2],
+                pruned_pair_frac=0.01)
+    assert on == off == tiny
+    assert len(on[".all"]) > 100
+
+
+def test_pair_compaction_kernel_identity(small_db):
+    """Kernel level: pair_cap ample == dense byte-for-byte; a tiny cap
+    only ever sets overflow flags (spilled reads), never corrupts the
+    non-overflow reads' matches."""
+    from ganon_tpu.classify import device as dev
+
+    genomes, th, pf = small_db
+    f = dev.DevicePrunedForest(pf)
+    rng = np.random.default_rng(37)
+    B = 64
+    rows = []
+    for _ in range(B):
+        t = int(rng.integers(0, 80))
+        s = int(rng.integers(0, genomes.shape[1] - 150))
+        rows.append(genomes[t, s:s + 150])
+    codes = np.stack(rows).astype(np.uint8)
+    l1 = np.full(B, 150, np.int32)
+    inbuf = dev.pack_batch_input(codes, l1, None, None)
+    kw = dict(k=K, w=W, L1=150, L2=0, coarse_bin_size=f.coarse_bin_size,
+              coarse_h=f.coarse_h, fine_h=f.fine_h, max_groups=2,
+              group_size=f.group_size, num_targets=f.num_targets,
+              top_k=16)
+    args = (f.ctbl, f.ftbl, f.grp_row_off, f.grp_bin_size, f.grp_shift,
+            f.grp_ntargets, inbuf, 0.25, 0.1, 65535)
+    dense = np.asarray(
+        dev.classify_batch_packed_pruned(*args, **kw, pair_cap=0))
+    ample = np.asarray(
+        dev.classify_batch_packed_pruned(*args, **kw, pair_cap=B * 2))
+    assert np.array_equal(dense, ample)
+    tiny = np.asarray(
+        dev.classify_batch_packed_pruned(*args, **kw, pair_cap=8))
+    rd = dev.unpack_batch_result(dense, B, 16, f.num_targets, True,
+                                 False, n_extra=1)
+    rt = dev.unpack_batch_result(tiny, B, 16, f.num_targets, True,
+                                 False, n_extra=1)
+    assert rt["overflow"].any()  # the tiny cap spilled someone
+    keep = ~rt["overflow"]
+    assert keep.any()
+    for key in ("top_idx", "top_vals", "n_matches"):
+        assert np.array_equal(rd[key][keep], rt[key][keep]), key
+
+
 def test_engine_mesh_outputs_match_single_device(small_db, tmp_path):
     genomes, th, pf = small_db
     import jax
