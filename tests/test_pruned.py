@@ -227,6 +227,48 @@ def test_pair_compaction_kernel_identity(small_db):
         assert np.array_equal(rd[key][keep], rt[key][keep]), key
 
 
+def test_bins_sharded_counts_identical(small_db):
+    """BinShardedPrunedForest (fine table group-strided over the mesh
+    bins axis) must produce bit-identical gated counts to the
+    single-device forest, including pad groups when G does not divide
+    the shard count."""
+    import jax
+    import jax.numpy as jnp
+
+    from ganon_tpu.classify import device as dev
+    from ganon_tpu.parallel.mesh import make_mesh
+    from ganon_tpu.parallel.pruned_shard import BinShardedPrunedForest
+
+    genomes, th, pf8 = small_db
+    # group_size=8 -> 10 groups over a bins axis of 4: shards hold
+    # 3/3/2/2 groups (pad groups exercised)
+    pf = build_pruned(th, kmer_size=K, window_size=W, max_fp=0.05,
+                      group_size=8)
+    mesh = make_mesh(jax.devices())
+    assert mesh.shape["bins"] > 1
+    sh = BinShardedPrunedForest(pf, mesh)
+
+    rng = np.random.default_rng(53)
+    B, M = 48, 64
+    hashes = np.zeros((B, M), np.uint64)
+    mask = np.zeros((B, M), bool)
+    targets = pf.targets()
+    for b in range(B):
+        if b % 5 == 4:
+            hs = rng.integers(0, 2**62, size=30, dtype=np.uint64)
+        else:
+            hs = th[targets[int(rng.integers(0, len(targets)))]][:40]
+        hashes[b, :len(hs)] = hs
+        mask[b, :len(hs)] = True
+    nh = mask.sum(1).astype(np.int32)
+    ref = np.asarray(dev.DevicePrunedForest(pf).counts_gated(
+        jnp.asarray(hashes), jnp.asarray(mask), jnp.asarray(nh), 0.25
+    ))
+    got = sh.counts_gated(hashes, mask, nh, 0.25)
+    assert np.array_equal(got, ref)
+    assert ref.any()  # the check is not vacuous
+
+
 def test_engine_mesh_outputs_match_single_device(small_db, tmp_path):
     genomes, th, pf = small_db
     import jax
