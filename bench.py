@@ -365,7 +365,13 @@ def _reads_fastq(name, genomes, n, lens=None):
     """Paired fastq on disk for the e2e runs (cached)."""
     base = np.frombuffer(b"ACGT", dtype=np.uint8)
     qual = b"I" * READ_LEN
-    paths = [os.path.join(CACHE_DIR, f"reads_{name}.{m}.fq") for m in (1, 2)]
+    # n is part of the cache key: a >=-size check let a LARGER cached
+    # file (e.g. the 1M soak file) satisfy a 64k request, silently
+    # running 16x the reads while the stage divided by n
+    paths = [
+        os.path.join(CACHE_DIR, f"reads_{name}_{n}.{m}.fq")
+        for m in (1, 2)
+    ]
     if all(
         os.path.exists(p) and os.path.getsize(p) >= n * (READ_LEN + 8)
         for p in paths
@@ -628,6 +634,10 @@ def st_kernel_T8192():
             coarse_bin_size=pf.coarse_bin_size, coarse_h=pf.coarse_h,
             fine_h=pf.fine_h, max_groups=2, group_size=pf.group_size,
             num_targets=f.num_targets, top_k=4, match_cap=2 * B,
+            # production config: (read, slot) pair compaction at P=B
+            # (ClassifyConfig.pruned_pair_frac default; sweep measured
+            # +14% over dense slots at this shape)
+            pair_cap=B,
         )
 
     np.asarray(step(batches[0]))  # compile + fence (fetch)

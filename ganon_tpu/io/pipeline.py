@@ -35,15 +35,23 @@ class EncodedBatch:
         return len(self.ids)
 
     def select(self, idx: np.ndarray) -> "EncodedBatch":
-        """Subset batch by row indices (leftover requeue between levels)."""
+        """Subset batch by row indices (leftover requeue between levels,
+        length-bucket splits). Trims the length axis to the selection's
+        longest read: without the trim every bucket split of a
+        mixed-length batch inherited the PARENT's width, so "bucketed"
+        batches all hashed at the longest read's padded length (the
+        round-4 mixed-length bp gap, and a [16384, 16384] compile OOM
+        once a 1 kbp bucket met a 16 kbp parent)."""
+        len1 = self.len1[idx]
+        len2 = self.len2[idx] if self.paired else None
         return EncodedBatch(
             prefix=self.prefix,
             paired=self.paired,
             ids=[self.ids[i] for i in idx],
-            codes1=self.codes1[idx],
-            len1=self.len1[idx],
-            codes2=self.codes2[idx] if self.paired else None,
-            len2=self.len2[idx] if self.paired else None,
+            codes1=_trim(self.codes1[idx], len1),
+            len1=len1,
+            codes2=_trim(self.codes2[idx], len2) if self.paired else None,
+            len2=len2,
         )
 
 
@@ -197,17 +205,19 @@ def merge_batches(parts: list[EncodedBatch]) -> EncodedBatch:
     first = parts[0]
     b = EncodedBatch(prefix=first.prefix, paired=first.paired)
     b.ids = [rid for p in parts for rid in p.ids]
-    w1 = max(p.codes1.shape[1] for p in parts)
+    # trim each part to its own longest read first: an untrimmed part
+    # (raw reader batch) must not widen the merged bucket
+    c1s = [_trim(p.codes1, p.len1) for p in parts]
+    w1 = max(c.shape[1] for c in c1s)
     b.codes1 = np.concatenate(
-        [np.pad(p.codes1, ((0, 0), (0, w1 - p.codes1.shape[1])))
-         for p in parts]
+        [np.pad(c, ((0, 0), (0, w1 - c.shape[1]))) for c in c1s]
     )
     b.len1 = np.concatenate([p.len1 for p in parts])
     if first.paired:
-        w2 = max(p.codes2.shape[1] for p in parts)
+        c2s = [_trim(p.codes2, p.len2) for p in parts]
+        w2 = max(c.shape[1] for c in c2s)
         b.codes2 = np.concatenate(
-            [np.pad(p.codes2, ((0, 0), (0, w2 - p.codes2.shape[1])))
-             for p in parts]
+            [np.pad(c, ((0, 0), (0, w2 - c.shape[1]))) for c in c2s]
         )
         b.len2 = np.concatenate([p.len2 for p in parts])
     return b
