@@ -186,6 +186,52 @@ def pack_batch_input(codes1: np.ndarray, len1: np.ndarray,
     return np.concatenate(parts, axis=1)
 
 
+def pack_batch_direct(batch, batch_pad: int):
+    """2-bit-pack an EncodedBatch straight into the padded device input
+    buffer (:func:`pack_batch_input` layout), skipping the
+    [batch_pad, Lb] u8 intermediate — zeroing and copying that
+    4x-larger array was the top host-side dispatch cost of the e2e
+    path (cProfile, scripts/e2e_host_profile.py). Byte-identical to
+    batch_to_device + pack_batch_input.
+
+    Returns (inbuf, L1, L2) with L2 = 0 for single-end.
+    """
+    L1 = bucket_len(max(batch.codes1.shape[1], 1))
+    L1p = L1 // 4  # bucket lengths are multiples of 32
+    L2 = bucket_len(max(batch.codes2.shape[1], 1)) if batch.paired else 0
+    L2p = L2 // 4
+    width = L1p + L2p + 4 + (4 if batch.paired else 0)
+    buf = np.zeros((batch_pad, width), np.uint8)
+
+    def pack_into(dst, codes):
+        b, L = codes.shape
+        L4 = -(-L // 4) * 4
+        if L4 != L:
+            codes = np.pad(codes, ((0, 0), (0, L4 - L)))
+        c = codes.reshape(b, L4 // 4, 4)
+        dst[:b, : L4 // 4] = (
+            c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4)
+            | (c[:, :, 3] << 6)
+        )
+
+    def lens_into(dst, lengths):
+        lens = np.zeros((batch_pad,), dtype="<i4")
+        lens[: len(lengths)] = lengths
+        dst[:] = lens.view(np.uint8).reshape(batch_pad, 4)
+
+    o = 0
+    pack_into(buf[:, o:o + L1p], batch.codes1)
+    o += L1p
+    if batch.paired:
+        pack_into(buf[:, o:o + L2p], batch.codes2)
+        o += L2p
+    lens_into(buf[:, o:o + 4], batch.len1)
+    o += 4
+    if batch.paired:
+        lens_into(buf[:, o:o + 4], batch.len2)
+    return buf, L1, L2
+
+
 def _unpack_batch_input(buf, L1: int, L2: int):
     """Device-side split of :func:`pack_batch_input` (jnp)."""
     import jax.lax as lax

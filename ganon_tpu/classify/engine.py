@@ -800,9 +800,7 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
     mult = getattr(f, "batch_mult", 1)
     if mult > 1 and batch_pad % mult:
         batch_pad = -(-batch_pad // mult) * mult
-    codes1, len1, codes2, len2, m1, m2 = dev.batch_to_device(
-        batch, w, batch_pad
-    )
+    inbuf, L1, L2 = dev.pack_batch_direct(batch, batch_pad)
     K = min(ctx.top_k_current, f.num_targets)
     if is_pruned:
         K = min(ctx.top_k_current,
@@ -815,7 +813,6 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
         cap = batch_pad * ctx.match_slots
         if cap >= batch_pad * K:
             cap = 0  # dense is no larger — use it
-    inbuf = dev.pack_batch_input(codes1, len1, codes2, len2)
     # per-batch [T] matches_t is only consumed when fpr-query is off
     # (static per level); skipping it cuts the per-batch fetch payload
     emit_mt = ctx.level.fpr_query >= 1.0
@@ -832,8 +829,7 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
             f.grp_ntargets, f.put_batch(inbuf),
             ctx.specs[0].rel_cutoff, ctx.level.rel_filter,
             cfg.hashes_limit,
-            k=ctx.kmer_size, w=w, L1=codes1.shape[1],
-            L2=codes2.shape[1] if codes2 is not None else 0,
+            k=ctx.kmer_size, w=w, L1=L1, L2=L2,
             coarse_bin_size=f.coarse_bin_size, coarse_h=f.coarse_h,
             fine_h=f.fine_h, max_groups=cfg.pruned_max_groups,
             group_size=f.group_size, num_targets=f.num_targets,
@@ -850,8 +846,7 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
             tuple(jnp.asarray(s["cols"]) for s in f.subs),
             f.put_batch(inbuf),
             ctx.specs[0].rel_cutoff, ctx.level.rel_filter, cfg.hashes_limit,
-            k=ctx.kmer_size, w=w, L1=codes1.shape[1],
-            L2=codes2.shape[1] if codes2 is not None else 0,
+            k=ctx.kmer_size, w=w, L1=L1, L2=L2,
             sub_params=tuple(
                 (s["bin_size"], s["hash_funs"]) for s in f.subs
             ),
@@ -868,8 +863,7 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
             tuple(s.byte_ends for s in f.subs),
             f.put_batch(inbuf),
             ctx.specs[0].rel_cutoff, ctx.level.rel_filter, cfg.hashes_limit,
-            k=ctx.kmer_size, w=w, L1=codes1.shape[1],
-            L2=codes2.shape[1] if codes2 is not None else 0,
+            k=ctx.kmer_size, w=w, L1=L1, L2=L2,
             sub_params=tuple(
                 (s.ibf_config.bin_size_bits, s.ibf_config.hash_functions)
                 for s in f.subs
@@ -881,8 +875,7 @@ def _dispatch_batch_fast(batch: EncodedBatch, ctx: LevelContext,
         packed = dev.classify_batch_packed(
             f.tbl8, f.byte_starts, f.byte_ends, f.put_batch(inbuf),
             ctx.specs[0].rel_cutoff, ctx.level.rel_filter, cfg.hashes_limit,
-            k=ctx.kmer_size, w=w, L1=codes1.shape[1],
-            L2=codes2.shape[1] if codes2 is not None else 0,
+            k=ctx.kmer_size, w=w, L1=L1, L2=L2,
             bin_size=f.ibf_config.bin_size_bits,
             hash_functions=f.ibf_config.hash_functions,
             top_k=K, pack16=pack16, match_cap=cap,
@@ -926,16 +919,13 @@ def _dispatch_batch_fast_multi(batch: EncodedBatch, ctx: LevelContext,
     mult = max(getattr(f, "batch_mult", 1) for f in ctx.filters)
     if mult > 1 and batch_pad % mult:
         batch_pad = -(-batch_pad // mult) * mult
-    codes1, len1, codes2, len2, m1, m2 = dev.batch_to_device(
-        batch, w, batch_pad
-    )
+    inbuf, L1, L2 = dev.pack_batch_direct(batch, batch_pad)
     K = min(ctx.top_k_current, U)
     cap = 0
     if ctx.match_slots is not None:
         cap = batch_pad * ctx.match_slots
         if cap >= batch_pad * K:
             cap = 0
-    inbuf = dev.pack_batch_input(codes1, len1, codes2, len2)
     packed = dev.classify_batch_packed_multi(
         tuple(f.tbl8 for f in ctx.filters),
         tuple(f.byte_starts for f in ctx.filters),
@@ -944,8 +934,7 @@ def _dispatch_batch_fast_multi(batch: EncodedBatch, ctx: LevelContext,
         ctx.filters[0].put_batch(inbuf),
         jnp.asarray([s.rel_cutoff for s in ctx.specs], dtype=jnp.float64),
         ctx.level.rel_filter, cfg.hashes_limit,
-        k=ctx.kmer_size, w=w, L1=codes1.shape[1],
-        L2=codes2.shape[1] if codes2 is not None else 0,
+        k=ctx.kmer_size, w=w, L1=L1, L2=L2,
         sub_params=tuple(
             (f.ibf_config.bin_size_bits, f.ibf_config.hash_functions)
             for f in ctx.filters

@@ -93,13 +93,17 @@ class FprQueryMinCount:
         return v
 
     def min_count_arr(self, ns: np.ndarray, ps: np.ndarray) -> np.ndarray:
-        """Elementwise min_count over paired (n_hashes, fpr) arrays."""
-        key = np.stack(
-            [np.asarray(ns, np.float64), np.asarray(ps, np.float64)], axis=1
-        )
-        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        """Elementwise min_count over paired (n_hashes, fpr) arrays.
+
+        The pair key packs into one complex128 (both halves exact: n is
+        a small int, p a float64), so the dedup is a plain 1-D unique
+        instead of the void-row axis=0 machinery — measurably cheaper
+        in the host finish (scripts/e2e_host_profile.py).
+        """
+        key = np.asarray(ns, np.float64) + 1j * np.asarray(ps, np.float64)
+        uniq, inv = np.unique(key, return_inverse=True)
         cm = np.fromiter(
-            (self.min_count(int(n), float(p)) for n, p in uniq),
+            (self.min_count(int(k.real), float(k.imag)) for k in uniq),
             dtype=np.int64,
             count=len(uniq),
         )

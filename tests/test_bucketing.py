@@ -146,3 +146,32 @@ def test_paired_mixed_lengths_bucketed_by_max(tmp_path):
     assert outs[6] == outs[4096]
     # the mate concat semantics must hold: at least one read classified
     assert len(outs[6][".all"]) > 0
+
+
+def test_pack_batch_direct_byte_identical():
+    """The fused pad+pack must produce byte-identical input buffers to
+    batch_to_device + pack_batch_input (single-end and paired)."""
+    import numpy as np
+
+    from ganon_tpu.classify import device as dev
+    from ganon_tpu.io.pipeline import EncodedBatch
+
+    rng = np.random.default_rng(3)
+    for paired, B, L in ((False, 5, 150), (True, 7, 301), (True, 64, 97)):
+        codes1 = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+        len1 = rng.integers(L // 2, L + 1, size=B).astype(np.int32)
+        codes2 = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+        len2 = rng.integers(L // 2, L + 1, size=B).astype(np.int32)
+        b = EncodedBatch(
+            prefix="", paired=paired, ids=[f"q{i}" for i in range(B)],
+            codes1=codes1, len1=len1,
+            codes2=codes2 if paired else None,
+            len2=len2 if paired else None,
+        )
+        batch_pad = dev.bucket_len(B, minimum=64)
+        c1, l1, c2, l2, m1, m2 = dev.batch_to_device(b, 31, batch_pad)
+        ref = dev.pack_batch_input(c1, l1, c2, l2)
+        got, L1, L2 = dev.pack_batch_direct(b, batch_pad)
+        assert L1 == c1.shape[1]
+        assert L2 == (c2.shape[1] if paired else 0)
+        assert np.array_equal(got, ref), (paired, B, L)
