@@ -16,7 +16,7 @@ stall-absorbing micro stage):
   kernel_micro, e2e_T32 (the headline), kernel_T32,
   kernel_T1024, e2e_T1024, kernel_T8192, e2e_T8192,
   e2e_forest, e2e_hierarchy, e2e_multifilter, e2e_mixedlen,
-  e2e_refdata
+  build, e2e_soak (1M-pair sustained), e2e_refdata
 
 Databases (cached under .bench_cache/, keyed by sizing policy + hash
 family digest):
@@ -87,7 +87,8 @@ GROUPS = [
     ("wide", ["kernel_T1024", "e2e_T1024", "kernel_T8192",
               "e2e_T8192"], 1.0),
     ("extras", ["e2e_forest", "e2e_hierarchy", "e2e_multifilter",
-                "e2e_mixedlen", "build", "e2e_refdata"], 1.0),
+                "e2e_mixedlen", "build", "e2e_soak", "e2e_refdata"],
+     1.0),
 ]
 
 # conservative WARM-cache wall-clock estimates per stage (seconds); a
@@ -106,6 +107,7 @@ STAGE_EST = {
     "e2e_multifilter": 50,
     "e2e_mixedlen": 75,
     "build": 55,
+    "e2e_soak": 90,  # 1M pairs x 3 passes (shapes warm from e2e_T8192)
     "e2e_refdata": 110,  # ~100k pairs x 4 passes + db load
 }
 
@@ -738,6 +740,23 @@ def st_e2e_mixedlen():
     return extra
 
 
+def st_e2e_soak():
+    """Sustained throughput: 1M pairs through the FULL engine against
+    the pruned T8192 db. The short e2e stages measure a handful of
+    warm batches; this one proves the rate HOLDS across 128 pipelined
+    batches (128x the per-batch host+device steady state;
+    scripts/e2e_soak.py is the standalone form with per-pass prints).
+    Shapes are warm by this point in the child (e2e_T8192 ran first)."""
+    n = 1_048_576
+    genomes, _, db = build_pruned_database("T8192")
+    fq = _reads_fastq("T8192", genomes, n)
+    extra = {}
+    v = _time_e2e(_e2e_kw([db], fq, "e2e_soak"), n, timed_passes=2,
+                  breakdown_into=extra, breakdown_key="e2e_soak_split")
+    extra["e2e_soak"] = round(v, 1)
+    return extra
+
+
 def st_build():
     """Driver-visible build throughput (the reference always prints
     build Mbp/m — GanonBuild.cpp:700-720; ours previously lived only in
@@ -868,6 +887,7 @@ STAGES = {
     "e2e_multifilter": st_e2e_multifilter,
     "e2e_mixedlen": st_e2e_mixedlen,
     "build": st_build,
+    "e2e_soak": st_e2e_soak,
     "e2e_refdata": st_e2e_refdata,
 }
 
